@@ -1,0 +1,324 @@
+"""Static-shape bounded subgraph sampler — the graphmuse MuseNeighborLoader
+equivalent (SURVEY §2.3; reference usage at analysisgnn/data/datamodules/
+analysis.py:267-324).
+
+Per batch: pick ``batch_size`` score graphs; per graph sample a contiguous
+window of at most ``subgraph_size`` *target* notes (notes are onset-sorted, so
+a contiguous id window is a contiguous musical region — the reference C
+sampler's region sampling); expand ``len(num_neighbors)`` hops of per-edge-
+type neighbor sampling with per-hop fan-in caps; relabel targets-first; pack
+every sampled graph into ONE padded device batch with fixed capacities so the
+jitted train step never recompiles.
+
+Host-side numpy by design: sampling is latency-bound pointer chasing, the
+wrong shape for the TPU; the padded buffers it emits are the right shape.
+A C++ drop-in (``native/``) accelerates the hot expansion loop when built.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from analysisgnn_tpu.core.graph import (
+    BEAT,
+    EdgeType,
+    HeteroGraph,
+    MEASURE,
+    NOTE,
+)
+
+
+@dataclasses.dataclass
+class ScoreSample:
+    """One preprocessed score: features, typed ragged edges, per-note attrs."""
+
+    features: Dict[str, np.ndarray]  # node type → [N_t, F]
+    edges: Dict[EdgeType, np.ndarray]  # edge type → [2, E]
+    note_attrs: Dict[str, np.ndarray]  # name → [N_note] (labels, encodings...)
+    name: str = ""
+    transposition: str = "P1"
+    test: bool = False
+
+    @property
+    def num_notes(self) -> int:
+        return self.features[NOTE].shape[0]
+
+
+def _csr_by_src(edge_index: np.ndarray, num_src: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sort edges by src and build row pointers (CSR)."""
+    src, dst = edge_index[0], edge_index[1]
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    indptr = np.searchsorted(src_s, np.arange(num_src + 1))
+    return indptr, dst_s, order
+
+
+@dataclasses.dataclass
+class SamplerConfig:
+    subgraph_size: int = 500
+    batch_size: int = 4
+    num_neighbors: Sequence[int] = (5, 5)
+    # capacity multipliers: padded note capacity = batch * subgraph * factor
+    node_capacity_factor: float = 2.0
+    edge_capacity_per_note: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: {
+            "onset": 8,
+            "consecutive": 6,
+            "during": 6,
+            "rest": 2,
+            "consecutive_rev": 6,
+            "during_rev": 6,
+            "rest_rev": 2,
+            "connects": 4,
+            "next": 1,
+        }
+    )
+    seed: int = 0
+
+
+class SubgraphSampler:
+    """Iterable sampler producing fixed-shape :class:`HeteroGraph` batches."""
+
+    def __init__(
+        self,
+        samples: Sequence[ScoreSample],
+        config: SamplerConfig,
+        shuffle: bool = True,
+    ) -> None:
+        if not samples:
+            raise ValueError("no samples")
+        self.samples = list(samples)
+        self.cfg = config
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(config.seed)
+        self._csr_cache: List[Dict[EdgeType, Tuple[np.ndarray, np.ndarray, np.ndarray]]] = [
+            None
+        ] * len(self.samples)
+        # static capacities
+        c = config
+        self.note_cap = int(c.batch_size * c.subgraph_size * c.node_capacity_factor)
+        self.metrical_cap = max(self.note_cap // 4, 8)
+        self.edge_caps: Dict[EdgeType, int] = {}
+        all_ets = set()
+        for s in self.samples:
+            all_ets.update(s.edges.keys())
+        for et in sorted(all_ets):
+            per_note = c.edge_capacity_per_note.get(et[1], 4)
+            base = self.note_cap if NOTE in (et[0], et[2]) else self.metrical_cap
+            self.edge_caps[et] = int(base * per_note)
+        self.feature_dims = {t: v.shape[1] for t, v in self.samples[0].features.items()}
+        self.attr_names = sorted(self.samples[0].note_attrs.keys())
+
+    # ------------------------------------------------------------------ #
+
+    def _csr(self, gi: int) -> Dict[EdgeType, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        if self._csr_cache[gi] is None:
+            s = self.samples[gi]
+            sizes = {t: f.shape[0] for t, f in s.features.items()}
+            self._csr_cache[gi] = {
+                et: _csr_by_src(ei, sizes[et[0]]) for et, ei in s.edges.items()
+            }
+        return self._csr_cache[gi]
+
+    def _sample_one(
+        self, gi: int
+    ) -> Tuple[Dict[str, np.ndarray], Dict[EdgeType, np.ndarray], int]:
+        """Sample one subgraph; returns (selected node ids per type in final
+        order with targets first, local typed edges, num_targets)."""
+        s = self.samples[gi]
+        cfg = self.cfg
+        n = s.num_notes
+        w = min(cfg.subgraph_size, n)
+        start = int(self.rng.integers(0, n - w + 1)) if n > w else 0
+        targets = np.arange(start, start + w, dtype=np.int64)
+
+        csr = self._csr(gi)
+        # per node type: selected ids in order + membership map
+        selected: Dict[str, List[np.ndarray]] = {t: [] for t in s.features}
+        seen: Dict[str, np.ndarray] = {
+            t: np.zeros(s.features[t].shape[0], bool) for t in s.features
+        }
+        selected[NOTE].append(targets)
+        seen[NOTE][targets] = True
+        frontier: Dict[str, np.ndarray] = {NOTE: targets}
+
+        for hop, k in enumerate(cfg.num_neighbors):
+            new_frontier: Dict[str, List[np.ndarray]] = {t: [] for t in s.features}
+            for et, (indptr, dst_sorted, _) in csr.items():
+                src_t, _, dst_t = et
+                if src_t not in frontier or len(frontier[src_t]) == 0:
+                    continue
+                nodes = frontier[src_t]
+                starts_, ends_ = indptr[nodes], indptr[nodes + 1]
+                degs = ends_ - starts_
+                cap = np.minimum(degs, k)
+                total = int(cap.sum())
+                if total == 0:
+                    continue
+                # sample up to k neighbors per node (random offset windows)
+                reps = np.repeat(np.arange(len(nodes)), cap)
+                within = np.concatenate([
+                    self.rng.choice(d, size=c_, replace=False) if d > c_ else np.arange(c_)
+                    for d, c_ in zip(degs, cap) if c_ > 0
+                ]) if total else np.zeros(0, np.int64)
+                picked = dst_sorted[np.repeat(starts_, cap) + within]
+                fresh = picked[~seen[dst_t][picked]]
+                if len(fresh):
+                    fresh = np.unique(fresh)
+                    seen[dst_t][fresh] = True
+                    selected[dst_t].append(fresh)
+                    new_frontier[dst_t].append(fresh)
+            frontier = {
+                t: (np.concatenate(v) if v else np.zeros(0, np.int64))
+                for t, v in new_frontier.items()
+            }
+
+        order: Dict[str, np.ndarray] = {
+            t: (np.concatenate(v) if v else np.zeros(0, np.int64))
+            for t, v in selected.items()
+        }
+        # local relabel maps
+        local: Dict[str, np.ndarray] = {}
+        for t, ids in order.items():
+            m = np.full(s.features[t].shape[0], -1, np.int64)
+            m[ids] = np.arange(len(ids))
+            local[t] = m
+        # induced edges among selected nodes
+        edges_out: Dict[EdgeType, np.ndarray] = {}
+        for et, ei in s.edges.items():
+            src_t, _, dst_t = et
+            keep = seen[src_t][ei[0]] & seen[dst_t][ei[1]]
+            edges_out[et] = np.stack([local[src_t][ei[0][keep]], local[dst_t][ei[1][keep]]])
+        return order, edges_out, w
+
+    # ------------------------------------------------------------------ #
+
+    def sample_batch(self, graph_indices: Optional[Sequence[int]] = None) -> HeteroGraph:
+        cfg = self.cfg
+        if graph_indices is None:
+            graph_indices = self.rng.choice(
+                len(self.samples),
+                size=min(cfg.batch_size, len(self.samples)),
+                replace=len(self.samples) < cfg.batch_size,
+            )
+        parts = [self._sample_one(int(gi)) for gi in graph_indices]
+
+        # targets-first packing: all graphs' targets, then all contexts
+        # (reference contract: batch["note"].x[:batch_size] are targets,
+        # models/analysis.py:949-950).
+        num_targets_per = [w for _, _, w in parts]
+        total_targets = sum(num_targets_per)
+
+        node_feats: Dict[str, List[np.ndarray]] = {}
+        node_attrs: Dict[str, List[np.ndarray]] = {a: [] for a in self.attr_names}
+        batch_vec: Dict[str, List[np.ndarray]] = {}
+        # note nodes: compute global offsets with targets first
+        note_offsets = []
+        ctx_sizes = []
+        off = 0
+        for (order, _, w), _gi in zip(parts, graph_indices):
+            note_offsets.append(off)
+            off += w
+            ctx_sizes.append(len(order[NOTE]) - w)
+        ctx_off = total_targets
+        ctx_offsets = []
+        for c in ctx_sizes:
+            ctx_offsets.append(ctx_off)
+            ctx_off += c
+        total_notes = ctx_off
+
+        # build per-part global note index mapping local→global
+        note_global: List[np.ndarray] = []
+        for i, (order, _, w) in enumerate(parts):
+            n_local = len(order[NOTE])
+            gmap = np.empty(n_local, np.int64)
+            gmap[:w] = note_offsets[i] + np.arange(w)
+            gmap[w:] = ctx_offsets[i] + np.arange(n_local - w)
+            note_global.append(gmap)
+
+        # other node types: simple sequential packing
+        other_types = [t for t in self.feature_dims if t != NOTE]
+        other_global: Dict[str, List[np.ndarray]] = {t: [] for t in other_types}
+        other_counts = {t: 0 for t in other_types}
+        for order, _, _ in parts:
+            for t in other_types:
+                n_local = len(order.get(t, []))
+                other_global[t].append(other_counts[t] + np.arange(n_local))
+                other_counts[t] += n_local
+
+        # assemble node features/attrs in GLOBAL order
+        note_feat_arr = np.zeros((total_notes, self.feature_dims[NOTE]), np.float32)
+        note_batch = np.zeros(total_notes, np.int64)
+        attr_arrays = {
+            a: np.zeros(
+                total_notes,
+                self.samples[0].note_attrs[a].dtype,
+            )
+            for a in self.attr_names
+        }
+        for i, ((order, _, w), gi) in enumerate(zip(parts, graph_indices)):
+            s = self.samples[int(gi)]
+            gmap = note_global[i]
+            note_feat_arr[gmap] = s.features[NOTE][order[NOTE]]
+            note_batch[gmap] = i
+            for a in self.attr_names:
+                attr_arrays[a][gmap] = s.note_attrs[a][order[NOTE]]
+
+        feats = {NOTE: note_feat_arr}
+        batches = {NOTE: note_batch}
+        for t in other_types:
+            arr = np.zeros((max(other_counts[t], 1), self.feature_dims[t]), np.float32)
+            bvec = np.zeros(max(other_counts[t], 1), np.int64)
+            for i, (order, _, _) in enumerate(parts):
+                ids = order.get(t, np.zeros(0, np.int64))
+                if len(ids):
+                    arr[other_global[t][i]] = self.samples[int(graph_indices[i])].features[t][ids]
+                    bvec[other_global[t][i]] = i
+            feats[t] = arr
+            batches[t] = bvec
+
+        # edges: remap local ids to global, concatenate
+        all_edges: Dict[EdgeType, List[np.ndarray]] = {}
+        for i, (order, edges, w) in enumerate(parts):
+            gmaps = {NOTE: note_global[i], **{t: other_global[t][i] for t in other_types}}
+            for et, ei in edges.items():
+                src_t, _, dst_t = et
+                if ei.shape[1] == 0:
+                    continue
+                remapped = np.stack([gmaps[src_t][ei[0]], gmaps[dst_t][ei[1]]])
+                all_edges.setdefault(et, []).append(remapped)
+        edges_cat = {
+            et: (np.concatenate(v, axis=1) if v else np.zeros((2, 0), np.int64))
+            for et, v in (
+                (et, all_edges.get(et, [])) for et in self.edge_caps
+            )
+        }
+        # truncate to capacity (rare; log-free clip keeps shapes static)
+        for et, ei in edges_cat.items():
+            cap = self.edge_caps[et]
+            if ei.shape[1] > cap:
+                edges_cat[et] = ei[:, :cap]
+
+        node_caps = {NOTE: self.note_cap}
+        for t in other_types:
+            node_caps[t] = self.metrical_cap
+        return HeteroGraph.from_numpy(
+            feats,
+            edges_cat,
+            node_attrs={NOTE: attr_arrays},
+            batch=batches,
+            num_target_nodes=total_targets,
+            node_capacity=node_caps,
+            edge_capacity=self.edge_caps,
+        )
+
+    def __iter__(self):
+        idx = np.arange(len(self.samples))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        for i in range(0, len(idx), self.cfg.batch_size):
+            chunk = idx[i : i + self.cfg.batch_size]
+            yield self.sample_batch(chunk)

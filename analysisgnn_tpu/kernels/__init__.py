@@ -3,6 +3,7 @@ from analysisgnn_tpu.kernels.segment_ops import (
     segment_mean,
     segment_max,
     segment_softmax,
+    segment_mean_with_base,
     gather_scatter_sum,
     gather_scatter_mean,
     sddmm_dot,
@@ -13,6 +14,7 @@ __all__ = [
     "segment_mean",
     "segment_max",
     "segment_softmax",
+    "segment_mean_with_base",
     "gather_scatter_sum",
     "gather_scatter_mean",
     "sddmm_dot",

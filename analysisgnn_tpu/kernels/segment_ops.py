@@ -65,6 +65,25 @@ def segment_mean_or(
     return jnp.where(has, mean, default)
 
 
+def segment_mean_with_base(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    base: jax.Array,
+) -> jax.Array:
+    """(base + Σ messages) / max(count, 1) per segment.
+
+    Exact semantics of ``torch_scatter.scatter(..., out=base, reduce='mean')``
+    as used by the reference's SAGE aggregation and onset pooling
+    (analysisgnn/models/core/gnn.py:74, models/analysis.py:586): the base row
+    is *added* to the message sum but not counted in the denominator, and
+    empty segments keep their base value.
+    """
+    num_segments = base.shape[0]
+    total = segment_sum(data, segment_ids, num_segments) + base
+    count = segment_count(segment_ids, num_segments)
+    return total / jnp.maximum(count, 1.0)[(...,) + (None,) * (base.ndim - 1)]
+
+
 def segment_max(
     data: jax.Array,
     segment_ids: jax.Array,

@@ -1,0 +1,165 @@
+"""The unified multi-task analysis model (reference ``TorchAnalysisGNN``,
+analysisgnn/models/analysis.py:421-602) as a flax module.
+
+Pipeline: pitch-spelling (35→64) + key-signature (15→64) embeddings are
+concatenated onto note input features (:424-425, :573-574); per-node-type
+projection MLPs (:429-443); one of three hetero encoders (:444-473); onset
+scatter-mean pooling + concat + deep projection (:580-588); optional stacked
+BiGRU over onset-ordered notes (:512-537); per-task heads with optional
+cross-task logit fusion (:486-511, :546-569).
+
+Static-shape notes: the reference's ``batch_size`` (count of target notes) is
+a traced scalar here; "restrict to targets" masks are applied by rewriting
+edge endpoints to one-past-the-end so downstream segment ops drop them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from analysisgnn_tpu.core.graph import EdgeType, NOTE
+from analysisgnn_tpu.kernels.segment_ops import segment_mean_with_base
+from analysisgnn_tpu.models.encoders import ENCODERS
+from analysisgnn_tpu.models.heads import TaskHeads
+from analysisgnn_tpu.models.mlp import EncoderProjection, ProjectionMLP
+from analysisgnn_tpu.models.rnn import StackedBiGRU, segment_starts
+
+PITCH_SPELLING_CLASSES = 35
+KEY_SIGNATURE_CLASSES = 15
+EMBED_DIM = 64
+
+
+def restrict_edges_to_targets(
+    edge_index: jax.Array, num_targets: jax.Array, num_nodes_cap: int,
+    drop_self_loops: bool = True,
+) -> jax.Array:
+    """Mask out edges touching non-target nodes (and self loops) by moving
+    their endpoints past the end — the static-shape version of the boolean
+    indexing at reference models/analysis.py:580-584."""
+    src, dst = edge_index[0], edge_index[1]
+    bad = (src >= num_targets) | (dst >= num_targets)
+    if drop_self_loops:
+        bad = bad | (src == dst)
+    fill = jnp.int32(num_nodes_cap)
+    return jnp.stack([jnp.where(bad, fill, src), jnp.where(bad, fill, dst)])
+
+
+class AnalysisGNN(nn.Module):
+    """Multi-task score-analysis network over a heterogeneous note graph."""
+
+    metadata: Tuple[Tuple[str, ...], Tuple[EdgeType, ...]]
+    in_channels: int
+    hidden_channels: int
+    out_channels: int
+    task_dict: Tuple[Tuple[str, int], ...]
+    num_layers: int = 3
+    dropout: float = 0.3
+    use_jk: bool = True
+    logit_fusion: bool = False
+    use_rnn: bool = False
+    encoder_type: str = "hybridgnn"
+
+    def setup(self):
+        node_types, edge_types = self.metadata
+        self.pitch_embedding = nn.Embed(PITCH_SPELLING_CLASSES, EMBED_DIM)
+        self.key_embedding = nn.Embed(KEY_SIGNATURE_CLASSES, EMBED_DIM)
+        self.project = {
+            t: ProjectionMLP(
+                self.hidden_channels, self.hidden_channels, self.dropout,
+                name=f"project_{t}",
+            )
+            for t in node_types
+        }
+        enc_cls = ENCODERS[self.encoder_type.lower()]
+        self.encoder = enc_cls(
+            hidden=self.hidden_channels,
+            num_layers=self.num_layers,
+            dropout=self.dropout,
+            use_jk=self.use_jk,
+            edge_types=tuple(edge_types),
+            name="encoder",
+        )
+        self.project_enc = EncoderProjection(
+            self.hidden_channels, self.out_channels, self.dropout, name="project_enc"
+        )
+        self.heads = TaskHeads(
+            task_dict=tuple(self.task_dict),
+            out_channels=self.out_channels,
+            logit_fusion=self.logit_fusion,
+            dropout=self.dropout,
+            name="heads",
+        )
+        if self.use_rnn:
+            self.rnn = StackedBiGRU(self.out_channels, num_layers=2, name="rnn")
+            self.rnn_norm = nn.LayerNorm(name="rnn_norm")
+            self.rnn_proj = nn.Dense(self.out_channels, name="rnn_proj")
+
+    # ------------------------------------------------------------------ #
+
+    def encode(
+        self,
+        x_dict: Dict[str, jax.Array],
+        edge_index_dict: Dict[EdgeType, jax.Array],
+        batch_dict: Dict[str, jax.Array],
+        pitch_spelling: jax.Array,
+        key_signature: jax.Array,
+        num_target_nodes: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Note embeddings for the (padded) target notes — reference
+        ``TorchAnalysisGNN.encode`` (:571-591)."""
+        z = dict(x_dict)
+        emb = jnp.concatenate(
+            [
+                z[NOTE],
+                self.pitch_embedding(jnp.clip(pitch_spelling, 0, PITCH_SPELLING_CLASSES - 1)),
+                self.key_embedding(jnp.clip(key_signature, 0, KEY_SIGNATURE_CLASSES - 1)),
+            ],
+            axis=-1,
+        )
+        h = {NOTE: self.project[NOTE](emb, deterministic=deterministic)}
+        for t, x in z.items():
+            if t != NOTE and t in self.project:
+                h[t] = self.project[t](x, deterministic=deterministic)
+        x = self.encoder(h, edge_index_dict, batch_dict, deterministic=deterministic)
+        # onset pooling over target-restricted, self-loop-free onset edges
+        onset = edge_index_dict[(NOTE, "onset", NOTE)]
+        onset = restrict_edges_to_targets(onset, num_target_nodes, x.shape[0])
+        msgs = x[jnp.minimum(onset[1], x.shape[0] - 1)]
+        x_pool = segment_mean_with_base(msgs, onset[0], base=x)
+        x = jnp.concatenate([x, x_pool], axis=-1)
+        x = self.project_enc(x, deterministic=deterministic)
+        if self.use_rnn:
+            starts = segment_starts(batch_dict[NOTE])
+            r = self.rnn(x, starts)
+            r = self.rnn_norm(r)
+            x = self.rnn_proj(r)
+        return x
+
+    def classify(self, x: jax.Array, deterministic: bool = True) -> Dict[str, jax.Array]:
+        return self.heads(x, deterministic=deterministic)
+
+    def __call__(
+        self,
+        x_dict: Dict[str, jax.Array],
+        edge_index_dict: Dict[EdgeType, jax.Array],
+        batch_dict: Dict[str, jax.Array],
+        pitch_spelling: jax.Array,
+        key_signature: jax.Array,
+        num_target_nodes: jax.Array,
+        deterministic: bool = True,
+    ) -> Dict[str, jax.Array]:
+        x = self.encode(
+            x_dict,
+            edge_index_dict,
+            batch_dict,
+            pitch_spelling,
+            key_signature,
+            num_target_nodes,
+            deterministic=deterministic,
+        )
+        return self.classify(x, deterministic=deterministic)

@@ -1,0 +1,330 @@
+"""The three production encoders: HybridGNN, HybridHGT, MetricalGNN.
+
+TPU-native re-designs of the graphmuse encoder family consumed by the
+reference at analysisgnn/models/analysis.py:444-473 (selection by
+``encoder_type``) with layer semantics anchored to the in-repo analogs:
+HGCN-style hetero SAGE stacks (analysisgnn/models/core/hgnn.py:144-179),
+LSTM-attention JumpingKnowledge (core/gnn.py:345-365), HGT typed attention
+(SDDMM → segment softmax → SpMM), and metrical beat/measure interleaving
+(core/hgnn.py:323-433, core/gnn.py:488-540).
+
+All encoders share the call signature
+
+    encoder(x_dict, edge_index_dict, batch_dict, deterministic) -> [N_note, F]
+
+operating on padded static-shape arrays; sampled-subgraph "layer trimming"
+(``neighbor_mask_node/edge`` in the reference) is unnecessary here because
+extra padded nodes cost only masked compute, never correctness.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from analysisgnn_tpu.core.graph import BEAT, EdgeType, MEASURE, NOTE
+from analysisgnn_tpu.kernels.segment_ops import (
+    segment_softmax,
+    segment_sum,
+)
+from analysisgnn_tpu.models.conv import SageConv, _gather
+from analysisgnn_tpu.models.hetero import HeteroConv
+from analysisgnn_tpu.models.rnn import BiResetGRU, LayerAttentionJK, segment_starts
+
+
+def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Row-wise L2 normalization (torch ``F.normalize`` semantics)."""
+    norm = jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+    return x / norm
+
+
+class HybridGNN(nn.Module):
+    """Stack of hetero SAGE layers with ReLU → L2-norm → dropout between
+    layers and optional JumpingKnowledge (reference HGCN forward,
+    core/hgnn.py:167-179)."""
+
+    hidden: int
+    num_layers: int = 3
+    dropout: float = 0.0
+    use_jk: bool = True
+    edge_types: Tuple[EdgeType, ...] = ()
+
+    @nn.compact
+    def __call__(
+        self,
+        x_dict: Dict[str, jax.Array],
+        edge_index_dict: Dict[EdgeType, jax.Array],
+        batch_dict: Optional[Dict[str, jax.Array]] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        h = dict(x_dict)
+        note_states = []
+        for i in range(self.num_layers):
+            h = HeteroConv(self.hidden, self.edge_types, name=f"layer_{i}")(
+                h, edge_index_dict
+            )
+            h = {t: nn.relu(v) for t, v in h.items()}
+            h = {t: l2_normalize(v) for t, v in h.items()}
+            h = {
+                t: nn.Dropout(self.dropout)(v, deterministic=deterministic)
+                for t, v in h.items()
+            }
+            note_states.append(h[NOTE])
+        if self.use_jk:
+            jk = LayerAttentionJK(self.hidden, name="jk")(note_states)
+            h = {**h, NOTE: jk}
+        out = HeteroConv(self.hidden, self.edge_types, name="final")(
+            h, edge_index_dict
+        )
+        return out[NOTE]
+
+
+class HGTLayer(nn.Module):
+    """Heterogeneous Graph Transformer layer.
+
+    Typed multi-head attention: per-node-type Q/K/V projections, per-edge-type
+    key/message transforms and priors; attention normalized per aggregating
+    node over ALL its incoming typed edges (segment softmax across the
+    concatenated edge set — the sparse softmax the reference delegates to
+    pyg's HGTConv inside graphmuse HybridHGT).
+    """
+
+    hidden: int
+    heads: int = 4
+    edge_types: Tuple[EdgeType, ...] = ()
+
+    @nn.compact
+    def __call__(
+        self,
+        x_dict: Dict[str, jax.Array],
+        edge_index_dict: Dict[EdgeType, jax.Array],
+    ) -> Dict[str, jax.Array]:
+        h_dim = self.hidden // self.heads
+        node_types = tuple(x_dict.keys())
+        q = {
+            t: nn.Dense(self.hidden, name=f"q_{t}")(x).reshape(-1, self.heads, h_dim)
+            for t, x in x_dict.items()
+        }
+        k = {
+            t: nn.Dense(self.hidden, name=f"k_{t}")(x).reshape(-1, self.heads, h_dim)
+            for t, x in x_dict.items()
+        }
+        v = {
+            t: nn.Dense(self.hidden, name=f"v_{t}")(x).reshape(-1, self.heads, h_dim)
+            for t, x in x_dict.items()
+        }
+        # collect per-aggregating-type edge logits and messages
+        per_type_logits: Dict[str, list] = {t: [] for t in node_types}
+        per_type_msgs: Dict[str, list] = {t: [] for t in node_types}
+        per_type_segs: Dict[str, list] = {t: [] for t in node_types}
+        for et in self.edge_types:
+            src_t, rel, dst_t = et
+            if et not in edge_index_dict or src_t not in x_dict or dst_t not in x_dict:
+                continue
+            tag = f"{src_t}__{rel}__{dst_t}"
+            w_att = self.param(
+                f"watt_{tag}", nn.initializers.xavier_uniform(), (self.heads, h_dim, h_dim)
+            )
+            w_msg = self.param(
+                f"wmsg_{tag}", nn.initializers.xavier_uniform(), (self.heads, h_dim, h_dim)
+            )
+            prior = self.param(f"prior_{tag}", nn.initializers.ones, (self.heads,))
+            ei = edge_index_dict[et]
+            k_e = _gather(k[dst_t], ei[1])  # [E, H, D] info source
+            q_e = _gather(q[src_t], ei[0])  # [E, H, D] aggregator
+            k_t = jnp.einsum("ehd,hdf->ehf", k_e, w_att)
+            logits = (q_e * k_t).sum(-1) * prior / jnp.sqrt(h_dim)  # [E, H]
+            msg = jnp.einsum("ehd,hdf->ehf", _gather(v[dst_t], ei[1]), w_msg)
+            per_type_logits[src_t].append(logits)
+            per_type_msgs[src_t].append(msg)
+            per_type_segs[src_t].append(ei[0])
+        out: Dict[str, jax.Array] = {}
+        for t in node_types:
+            n = x_dict[t].shape[0]
+            if per_type_logits[t]:
+                logits = jnp.concatenate(per_type_logits[t], axis=0)  # [Et, H]
+                msgs = jnp.concatenate(per_type_msgs[t], axis=0)  # [Et, H, D]
+                segs = jnp.concatenate(per_type_segs[t], axis=0)  # [Et]
+                att = segment_softmax(logits, segs, n)  # [Et, H]
+                agg = segment_sum(msgs * att[..., None], segs, n)  # [N, H, D]
+                agg = agg.reshape(n, self.hidden)
+                upd = nn.Dense(self.hidden, name=f"out_{t}")(nn.gelu(agg))
+                # gated residual (HGT skip); project the input when its width
+                # differs from the hidden size (first layer on raw features)
+                res = x_dict[t]
+                if res.shape[-1] != self.hidden:
+                    res = nn.Dense(self.hidden, name=f"res_{t}")(res)
+                beta = self.param(f"skip_{t}", nn.initializers.ones, ())
+                gate = jax.nn.sigmoid(beta)
+                out[t] = gate * upd + (1 - gate) * res
+            else:
+                out[t] = x_dict[t]
+        return out
+
+
+class HybridHGT(nn.Module):
+    """HGT encoder stack (reference HybridHGT selection,
+    models/analysis.py:444-453)."""
+
+    hidden: int
+    num_layers: int = 3
+    heads: int = 4
+    dropout: float = 0.0
+    use_jk: bool = True
+    edge_types: Tuple[EdgeType, ...] = ()
+
+    @nn.compact
+    def __call__(
+        self,
+        x_dict: Dict[str, jax.Array],
+        edge_index_dict: Dict[EdgeType, jax.Array],
+        batch_dict: Optional[Dict[str, jax.Array]] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        h = dict(x_dict)
+        note_states = []
+        for i in range(self.num_layers):
+            h = HGTLayer(
+                self.hidden, self.heads, self.edge_types, name=f"layer_{i}"
+            )(h, edge_index_dict)
+            h = {
+                t: nn.Dropout(self.dropout)(v, deterministic=deterministic)
+                for t, v in h.items()
+            }
+            note_states.append(h[NOTE])
+        if self.use_jk:
+            return LayerAttentionJK(self.hidden, name="jk")(note_states)
+        return h[NOTE]
+
+
+class MetricalConv(nn.Module):
+    """Note ↔ metrical-node aggregation with a sequence model over the
+    metrical axis (reference MetricalConvLayer, core/gnn.py:488-540, with
+    LayerNorm in place of BatchNorm and a reset-mask BiGRU in place of
+    pad/pack)."""
+
+    hidden: int
+    out: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x_metrical: jax.Array,  # [M, F]
+        x_notes: jax.Array,  # [N, F]
+        note_to_metrical: jax.Array,  # [2, E]: row0 note ids, row1 metrical ids
+        metrical_starts: jax.Array,  # [M] bool: new-graph starts
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        m = x_metrical.shape[0]
+        n = x_notes.shape[0]
+        f = x_notes.shape[-1]
+        h_neigh = nn.Dense(f, name="neigh")(x_notes)
+        h_scatter = segment_sum(
+            _gather(h_neigh, note_to_metrical[0]), note_to_metrical[1], m
+        )
+        z_s = jnp.concatenate([h_scatter, x_metrical], axis=-1)
+        h_seq = BiResetGRU(f, name="seq")(h_scatter, metrical_starts)
+        h = nn.Dense(self.out, name="out")(jnp.concatenate([z_s, h_seq], axis=-1))
+        h = nn.relu(h)
+        h = nn.LayerNorm()(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        out_notes = segment_sum(_gather(h, note_to_metrical[1]), note_to_metrical[0], n)
+        return out_notes, h
+
+
+class MetricalGNN(nn.Module):
+    """Note convs interleaved with beat/measure aggregation (reference
+    MetricalGNN, core/hgnn.py:323-433; graphmuse ``fast=True`` variant)."""
+
+    hidden: int
+    num_layers: int = 3
+    dropout: float = 0.0
+    use_jk: bool = True
+    edge_types: Tuple[EdgeType, ...] = ()
+
+    def _note_edge_types(self):
+        return tuple(e for e in self.edge_types if e[0] == NOTE and e[2] == NOTE)
+
+    @nn.compact
+    def __call__(
+        self,
+        x_dict: Dict[str, jax.Array],
+        edge_index_dict: Dict[EdgeType, jax.Array],
+        batch_dict: Optional[Dict[str, jax.Array]] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        note_edges = {
+            et: ei for et, ei in edge_index_dict.items() if et[0] == NOTE and et[2] == NOTE
+        }
+        x = x_dict[NOTE]
+        use_beats = BEAT in x_dict and (NOTE, "connects", BEAT) in edge_index_dict
+        use_measures = (
+            MEASURE in x_dict and (NOTE, "connects", MEASURE) in edge_index_dict
+        )
+        # initial metrical states: scatter embedded note features
+        if use_beats:
+            nb = edge_index_dict[(NOTE, "connects", BEAT)]
+            h_beat = segment_sum(
+                _gather(nn.Dense(self.hidden, name="emb_beats")(x), nb[0]),
+                nb[1],
+                x_dict[BEAT].shape[0],
+            )
+            beat_starts = (
+                segment_starts(batch_dict[BEAT])
+                if batch_dict is not None and BEAT in batch_dict
+                else jnp.zeros(x_dict[BEAT].shape[0], bool).at[0].set(True)
+            )
+        if use_measures:
+            nm = edge_index_dict[(NOTE, "connects", MEASURE)]
+            h_measure = segment_sum(
+                _gather(nn.Dense(self.hidden, name="emb_measures")(x), nm[0]),
+                nm[1],
+                x_dict[MEASURE].shape[0],
+            )
+            measure_starts = (
+                segment_starts(batch_dict[MEASURE])
+                if batch_dict is not None and MEASURE in batch_dict
+                else jnp.zeros(x_dict[MEASURE].shape[0], bool).at[0].set(True)
+            )
+
+        note_ets = self._note_edge_types()
+        h = {NOTE: x}
+        note_states = []
+        for i in range(self.num_layers):
+            if i > 0:
+                parts = [h[NOTE]]
+                if use_beats:
+                    beat_msg, h_beat = MetricalConv(
+                        self.hidden, self.hidden, self.dropout, name=f"beat_conv_{i}"
+                    )(h_beat, h[NOTE], nb, beat_starts, deterministic)
+                    parts.append(beat_msg)
+                if use_measures:
+                    measure_msg, h_measure = MetricalConv(
+                        self.hidden, self.hidden, self.dropout, name=f"measure_conv_{i}"
+                    )(h_measure, h[NOTE], nm, measure_starts, deterministic)
+                    parts.append(measure_msg)
+                if len(parts) > 1:
+                    z = nn.Dense(self.hidden, name=f"project_metrical_{i}")(
+                        jnp.concatenate(parts, axis=-1)
+                    )
+                    h = {NOTE: l2_normalize(nn.relu(z))}
+            h = HeteroConv(self.hidden, note_ets, name=f"layer_{i}")(h, note_edges)
+            h = {NOTE: nn.Dropout(self.dropout)(
+                nn.relu(l2_normalize(h[NOTE])), deterministic=deterministic
+            )}
+            note_states.append(h[NOTE])
+        if self.use_jk:
+            h = {NOTE: LayerAttentionJK(self.hidden, name="jk")(note_states)}
+        out = HeteroConv(self.hidden, note_ets, name="final")(h, note_edges)
+        return out[NOTE]
+
+
+ENCODERS: Dict[str, Callable] = {
+    "hybridgnn": HybridGNN,
+    "hgt": HybridHGT,
+    "metricalgnn": MetricalGNN,
+}

@@ -1,0 +1,112 @@
+"""Jit-friendly masked evaluation metrics.
+
+Functional equivalents of the torchmetrics usage in the reference: per-task
+accuracy and macro-F1 (models/analysis.py:890-891), the composite onset-wise
+RNA accuracy with Cantor-pair onset dedup (:1226-1264) and the NCT-masked
+variant (:1271-1282).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+RNA_KEYS: Tuple[str, ...] = ("quality", "inversion", "degree1", "degree2")
+NCT_RNA_KEYS: Tuple[str, ...] = ("quality", "inversion", "degree1", "degree2", "localkey")
+
+
+def masked_accuracy(logits: jax.Array, labels: jax.Array, weight: jax.Array) -> jax.Array:
+    pred = jnp.argmax(logits, axis=-1)
+    correct = (pred == labels).astype(jnp.float32) * weight
+    return correct.sum() / jnp.maximum(weight.sum(), 1.0)
+
+
+def masked_macro_f1(
+    logits: jax.Array, labels: jax.Array, weight: jax.Array, num_classes: int
+) -> jax.Array:
+    """Macro F1 over classes present in the (masked) labels."""
+    pred = jnp.argmax(logits, axis=-1)
+    w = weight.astype(jnp.float32)
+    labels = jnp.clip(labels, 0, num_classes - 1)
+    onehot_true = jax.nn.one_hot(labels, num_classes) * w[:, None]
+    onehot_pred = jax.nn.one_hot(pred, num_classes) * w[:, None]
+    tp = (onehot_true * onehot_pred).sum(0)
+    fp = onehot_pred.sum(0) - tp
+    fn = onehot_true.sum(0) - tp
+    f1 = 2 * tp / jnp.maximum(2 * tp + fp + fn, 1e-9)
+    present = (onehot_true.sum(0) > 0).astype(jnp.float32)
+    return (f1 * present).sum() / jnp.maximum(present.sum(), 1.0)
+
+
+def cantor_pair(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(a + b)(a + b + 1)/2 + b — the onset/graph dedup key the reference uses
+    (models/analysis.py:36-41, :1246)."""
+    s = a + b
+    return s * (s + 1) // 2 + b
+
+
+def onset_aggregate_softmax(
+    probs: jax.Array,
+    onset_edge_index: jax.Array,
+    num_nodes: int,
+) -> jax.Array:
+    """scatter-mean softmax probs over onset edges then renormalize
+    (reference :1237-1239: ``scatter_mean(v[src], dst, out=v).softmax(-1)``)."""
+    from analysisgnn_tpu.kernels.segment_ops import segment_mean_with_base
+
+    src, dst = onset_edge_index[0], onset_edge_index[1]
+    msgs = probs[jnp.minimum(src, num_nodes - 1)]
+    pooled = segment_mean_with_base(msgs, dst, base=probs)
+    return jax.nn.softmax(pooled, axis=-1)
+
+
+def onsetwise_rna_accuracy(
+    logits_dict: Dict[str, jax.Array],
+    labels_dict: Dict[str, jax.Array],
+    onset_edge_index: jax.Array,
+    onset_div: jax.Array,
+    batch_ids: jax.Array,
+    weight: jax.Array,
+    rna_keys: Tuple[str, ...] = RNA_KEYS,
+) -> jax.Array:
+    """Composite RNA accuracy: all of quality∧inversion∧degree1∧degree2
+    correct, evaluated once per unique (graph, onset) pair.
+
+    Static-shape realization of reference test_step :1226-1264: instead of
+    ``torch.unique`` + permutation gymnastics, each (graph, onset) group's
+    *first* row (in node order) is selected with a one-per-group mask.
+    """
+    n = weight.shape[0]
+    probs = {
+        k: onset_aggregate_softmax(jax.nn.softmax(logits_dict[k], -1), onset_edge_index, n)
+        for k in rna_keys
+    }
+    key = cantor_pair(onset_div - onset_div.min(), batch_ids)
+    # first-of-group mask: a row whose key differs from every earlier row.
+    # Node order groups equal keys contiguously (notes sorted by onset per
+    # graph), so "differs from previous row" suffices.
+    prev = jnp.roll(key, 1)
+    first = (key != prev).at[0].set(True)
+    w = (weight & first).astype(jnp.float32)
+    ok = jnp.ones(n, bool)
+    for k in rna_keys:
+        ok = ok & (jnp.argmax(probs[k], -1) == labels_dict[k])
+    return (ok.astype(jnp.float32) * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def nct_rna_accuracy(
+    logits_dict: Dict[str, jax.Array],
+    labels_dict: Dict[str, jax.Array],
+    weight: jax.Array,
+    rna_keys: Tuple[str, ...] = NCT_RNA_KEYS,
+) -> jax.Array:
+    """RNA accuracy over predicted chord-tone notes only (``tpc_in_label``
+    argmax as mask; reference :1271-1282)."""
+    mask = jnp.argmax(logits_dict["tpc_in_label"], -1).astype(bool)
+    w = (weight & mask).astype(jnp.float32)
+    ok = jnp.ones(w.shape[0], bool)
+    for k in rna_keys:
+        ok = ok & (jnp.argmax(logits_dict[k], -1) == labels_dict[k])
+    return (ok.astype(jnp.float32) * w).sum() / jnp.maximum(w.sum(), 1.0)

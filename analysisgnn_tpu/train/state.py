@@ -1,0 +1,86 @@
+"""Training state: params, optimizer, multi-task weights, CL memories.
+
+One pytree carries everything the continual-learning machinery needs
+(reference ``ContinualAnalysisGNN`` attributes, analysisgnn/models/
+analysis.py:839-932): model params, the learnable uncertainty weights, the
+frozen teacher copy for distillation (:918-932), and the EWC fisher/means
+(:1440-1495) — so the whole update is one pure jitted function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from analysisgnn_tpu.train.losses import init_mt_params
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    mt_params: jax.Array
+    opt_state: Any
+    teacher_params: Any  # frozen distillation teacher (copy of params)
+    fisher: Any  # EWC fisher diagonal (zeros when unused)
+    means: Any  # EWC anchor params
+    rng: jax.Array
+
+
+def create_train_state(
+    params: Any,
+    num_tasks: int,
+    optimizer: optax.GradientTransformation,
+    rng: jax.Array,
+) -> TrainState:
+    mt = init_mt_params(num_tasks)
+    opt_state = optimizer.init((params, mt))
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        mt_params=mt,
+        opt_state=opt_state,
+        teacher_params=params,
+        fisher=zeros,
+        means=params,
+        rng=rng,
+    )
+
+
+def make_optimizer(
+    lr_schedule, weight_decay: float = 5e-3, clip_norm: float = 1.0
+) -> optax.GradientTransformation:
+    """AdamW + global-norm clipping 1.0 (reference Trainer
+    ``gradient_clip_val=1.0`` + ``configure_optimizers``,
+    train_analysisgnn.py:254, models/analysis.py:1380-1410)."""
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(lr_schedule, weight_decay=weight_decay),
+    )
+
+
+def update_teacher(state: TrainState) -> TrainState:
+    """Freeze the current params as the distillation teacher
+    (reference ``update_memory_model``, :1370-1378)."""
+    return dataclasses.replace(state, teacher_params=state.params)
+
+
+def snapshot_ewc_anchor(state: TrainState) -> TrainState:
+    """Store current params as EWC means and reset fisher
+    (reference ``get_optimal_params`` + ``_init_fisher``, :1457-1476)."""
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    return dataclasses.replace(state, means=state.params, fisher=zeros)
+
+
+def accumulate_fisher(state: TrainState, grads: Any, scale: float) -> TrainState:
+    """fisher += grad² / scale (reference ``compute_fisher``, :1440-1455)."""
+    fisher = jax.tree_util.tree_map(
+        lambda f, g: f + (g**2) / scale, state.fisher, grads
+    )
+    return dataclasses.replace(state, fisher=fisher)

@@ -1,0 +1,229 @@
+"""The jitted multi-task train/eval step.
+
+Functional re-design of ``ContinualAnalysisGNN.common_step``
+(analysisgnn/models/analysis.py:947-1080): label clipping (:954-956),
+validity masking (:963-973) as weight masks, encoder forward, feature-norm
+loss (:984), per-task label-smoothed CE through the multi-task combiner
+(:1035-1037), distillation from the frozen teacher over previous tasks
+(:1040-1063), EWC penalty (:1064-1068), all inside ONE ``jax.jit`` with a
+single optimizer update (AdamW + clip, :1380-1410).
+
+Task presence and the previous-task set are *static* arguments baked into the
+compiled step (they change only at CL task switches — a handful of
+recompiles per run, reference :1166-1182).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from analysisgnn_tpu.core.graph import HeteroGraph, NOTE
+from analysisgnn_tpu.train.losses import (
+    distillation_loss,
+    ewc_penalty,
+    masked_cross_entropy,
+    multi_task_loss,
+)
+from analysisgnn_tpu.train.metrics import masked_accuracy
+from analysisgnn_tpu.train.state import TrainState
+
+# task → per-task validity-mask attribute (reference create_mask_dict,
+# models/analysis.py:935-945; the reference's "has_phrase" lookup never
+# matches the DLC attr "valid_phrase_label" — fixed here so phrase masking
+# actually applies).
+TASK_MASK_ATTRS: Dict[str, str] = {
+    "cadence": "valid_cadence_label",
+    "phrase": "valid_phrase_label",
+    "organ_point": "valid_organ_point_label",
+    "section": "valid_section_start_label",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    task_dict: Tuple[Tuple[str, int], ...]  # all heads (static)
+    active_tasks: Tuple[str, ...]  # tasks with labels in this dataset
+    previous_tasks: Tuple[str, ...] = ()  # distillation targets
+    mt_strategy: str = "wloss"
+    lambda_dctn: float = 0.5
+    lambda_featl: float = 0.1
+    lambda_ewc: float = 2.0
+    use_ewc: bool = False
+    label_smoothing: float = 0.1
+
+
+def _task_weights(
+    batch: HeteroGraph, cfg: StepConfig
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """target ∧ valid_label base weight + per-task extra masks."""
+    attrs = batch.node_attrs[NOTE]
+    base = batch.target_mask()
+    if "valid_label" in attrs:
+        base = base & attrs["valid_label"].astype(bool)
+    weights = {}
+    for task in cfg.active_tasks:
+        w = base
+        mask_attr = TASK_MASK_ATTRS.get(task)
+        if mask_attr and mask_attr in attrs:
+            w = w & attrs[mask_attr].astype(bool)
+        weights[task] = w
+    return base, weights
+
+
+def compute_losses(
+    model,
+    params,
+    mt_params,
+    teacher_params,
+    batch: HeteroGraph,
+    cfg: StepConfig,
+    rngs: Optional[dict],
+    deterministic: bool,
+):
+    """Shared forward + loss assembly for train and eval."""
+    task_sizes = dict(cfg.task_dict)
+    attrs = batch.node_attrs[NOTE]
+    base_w, task_w = _task_weights(batch, cfg)
+    args = (
+        batch.x_dict(),
+        batch.edge_index_dict(),
+        batch.batch,
+        attrs["pitch_spelling"],
+        attrs["key_signature"],
+        batch.num_target_nodes,
+    )
+    x = model.apply(
+        params, *args, deterministic=deterministic, method=model.encode, rngs=rngs
+    )
+    # feature-norm regularizer over valid target rows (reference :984)
+    fw = base_w.astype(jnp.float32)
+    feature_loss = (jnp.sum(x**2, axis=-1) * fw).sum() / jnp.maximum(
+        fw.sum() * x.shape[-1], 1.0
+    )
+    logits = model.apply(
+        params, x, deterministic=deterministic, method=model.classify, rngs=rngs
+    )
+    task_losses: Dict[str, jax.Array] = {}
+    metrics: Dict[str, jax.Array] = {}
+    for task in cfg.active_tasks:
+        n_cls = task_sizes[task]
+        labels = attrs[task]
+        # clip out-of-range labels to 0 (reference :954-956)
+        labels = jnp.where(labels < n_cls, labels, 0)
+        w = task_w[task]
+        task_losses[task] = masked_cross_entropy(
+            logits[task], labels, w, cfg.label_smoothing
+        )
+        metrics[f"{task}_acc"] = masked_accuracy(logits[task], labels, w)
+    task_order = tuple(t for t, _ in cfg.task_dict)
+    total = multi_task_loss(task_losses, mt_params, task_order, cfg.mt_strategy)
+    total = total / max(len(task_losses), 1)
+
+    memory_loss = jnp.asarray(0.0)
+    if cfg.previous_tasks and cfg.lambda_dctn > 0:
+        x_t = model.apply(
+            teacher_params, *args, deterministic=True, method=model.encode
+        )
+        teacher_logits = model.apply(
+            teacher_params, x_t, deterministic=True, method=model.classify
+        )
+        student_logits = model.apply(
+            params, x_t, deterministic=deterministic, method=model.classify, rngs=rngs
+        )
+        memory_loss = cfg.lambda_dctn * distillation_loss(
+            student_logits, teacher_logits, base_w, cfg.previous_tasks
+        )
+    return total, feature_loss, memory_loss, task_losses, metrics
+
+
+def make_train_step(model, optimizer: optax.GradientTransformation, cfg: StepConfig):
+    """Build the jitted training step for a fixed (static) StepConfig."""
+
+    def loss_fn(trainables, state: TrainState, batch: HeteroGraph, rng):
+        params, mt_params = trainables
+        rngs = {"dropout": rng}
+        total, feature_loss, memory_loss, task_losses, metrics = compute_losses(
+            model, params, mt_params, state.teacher_params, batch, cfg, rngs, False
+        )
+        loss = total + memory_loss + cfg.lambda_featl * feature_loss
+        if cfg.use_ewc:
+            loss = loss + cfg.lambda_ewc * ewc_penalty(
+                params, state.means, state.fisher
+            )
+        aux = {
+            "total_loss": loss,
+            "task_loss": total,
+            "feature_loss": feature_loss,
+            "memory_loss": memory_loss,
+            **{f"{k}_loss": v for k, v in task_losses.items()},
+            **metrics,
+        }
+        return loss, aux
+
+    @jax.jit
+    def train_step(state: TrainState, batch: HeteroGraph):
+        rng, new_rng = jax.random.split(state.rng)
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            (state.params, state.mt_params), state, batch, rng
+        )
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, (state.params, state.mt_params)
+        )
+        new_params, new_mt = optax.apply_updates(
+            (state.params, state.mt_params), updates
+        )
+        new_state = dataclasses.replace(
+            state,
+            step=state.step + 1,
+            params=new_params,
+            mt_params=new_mt,
+            opt_state=new_opt_state,
+            rng=new_rng,
+        )
+        return new_state, aux
+
+    return train_step
+
+
+def make_eval_step(model, cfg: StepConfig):
+    @jax.jit
+    def eval_step(state: TrainState, batch: HeteroGraph):
+        total, feature_loss, _, task_losses, metrics = compute_losses(
+            model, state.params, state.mt_params, state.teacher_params,
+            batch, cfg, None, True,
+        )
+        return {
+            "total_loss": total,
+            **{f"{k}_loss": v for k, v in task_losses.items()},
+            **metrics,
+        }
+
+    return eval_step
+
+
+def make_fisher_step(model, cfg: StepConfig):
+    """Gradient² accumulation step for EWC memory replay
+    (reference memory_replay + compute_fisher, :1326-1368, :1440-1455)."""
+
+    @jax.jit
+    def fisher_step(state: TrainState, batch: HeteroGraph, scale: jax.Array):
+        def loss_only(params):
+            total, _, _, _, _ = compute_losses(
+                model, params, state.mt_params, state.teacher_params,
+                batch, cfg, None, True,
+            )
+            return total
+
+        grads = jax.grad(loss_only)(state.params)
+        fisher = jax.tree_util.tree_map(
+            lambda f, g: f + (g**2) / scale, state.fisher, grads
+        )
+        return dataclasses.replace(state, fisher=fisher)
+
+    return fisher_step
