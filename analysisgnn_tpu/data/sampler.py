@@ -134,6 +134,13 @@ class SubgraphSampler:
         w = min(cfg.subgraph_size, n)
         start = int(self.rng.integers(0, n - w + 1)) if n > w else 0
         targets = np.arange(start, start + w, dtype=np.int64)
+        # per-graph node budgets so a packed batch never exceeds capacity
+        budgets = {
+            NOTE: max(self.note_cap // cfg.batch_size - w, 0),
+        }
+        for t in s.features:
+            if t != NOTE:
+                budgets[t] = self.metrical_cap // cfg.batch_size
 
         csr = self._csr(gi)
         # per node type: selected ids in order + membership map
@@ -168,6 +175,11 @@ class SubgraphSampler:
                 fresh = picked[~seen[dst_t][picked]]
                 if len(fresh):
                     fresh = np.unique(fresh)
+                    if budgets[dst_t] <= 0:
+                        continue
+                    if len(fresh) > budgets[dst_t]:
+                        fresh = fresh[: budgets[dst_t]]
+                    budgets[dst_t] -= len(fresh)
                     seen[dst_t][fresh] = True
                     selected[dst_t].append(fresh)
                     new_frontier[dst_t].append(fresh)

@@ -1,0 +1,139 @@
+"""Benchmark: hetero message-passing training throughput on one chip.
+
+Measures end-to-end jitted train-step throughput (forward + backward + AdamW)
+of the flagship HybridGNN multi-task configuration over sampled score
+subgraphs, reported as **edges per second per chip** — the BASELINE.json
+north-star metric for the hetero SpMM path.
+
+``vs_baseline`` is the fraction of a nominal 1 GEdge/s/chip speed-of-light
+anchor (the reference repo publishes no numbers — BASELINE.md; the anchor
+makes round-over-round progress comparable on the same hardware).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+SPEED_OF_LIGHT_EDGES_PER_S = 1e9
+
+
+def main() -> None:
+    import jax
+
+    from analysisgnn_tpu.core.graph import NOTE, metadata
+    from analysisgnn_tpu.data.features import select_features
+    from analysisgnn_tpu.data.graph_build import build_score_graph
+    from analysisgnn_tpu.data.note_array import synthetic_score
+    from analysisgnn_tpu.data.sampler import (
+        SamplerConfig,
+        ScoreSample,
+        SubgraphSampler,
+    )
+    from analysisgnn_tpu.models.analysis import AnalysisGNN
+    from analysisgnn_tpu.theory.encoders import KeySignatureEncoder, PitchEncoder
+    from analysisgnn_tpu.theory.vocab import TASK_DICT
+    from analysisgnn_tpu.train.schedules import warmup_cosine_schedule
+    from analysisgnn_tpu.train.state import create_train_state, make_optimizer
+    from analysisgnn_tpu.train.step import StepConfig, make_train_step
+
+    tasks = tuple(TASK_DICT.items())
+
+    # corpus: 4 synthetic polyphonic scores, ~2000 notes each
+    samples = []
+    for s in range(4):
+        na = synthetic_score(num_notes=2000, seed=s)
+        feats = select_features(na, "voice")
+        g = build_score_graph(na, add_beats=True, add_measures=True)
+        features = {
+            NOTE: feats,
+            "beat": np.zeros((max(g.num_beats, 1), feats.shape[1]), np.float32),
+            "measure": np.zeros((max(g.num_measures, 1), feats.shape[1]), np.float32),
+        }
+        rng = np.random.default_rng(s)
+        attrs = {
+            "pitch_spelling": PitchEncoder().encode(na),
+            "key_signature": KeySignatureEncoder().encode(na),
+            "onset_div": na["onset_div"].astype(np.int64),
+            "valid_label": np.ones(len(na), np.int64),
+        }
+        for task, n_cls in tasks:
+            attrs[task] = rng.integers(0, n_cls, size=len(na)).astype(np.int64)
+        samples.append(ScoreSample(features=features, edges=g.edges, note_attrs=attrs))
+
+    # reference default scale: subgraph_size=500, neighbors [5,5]
+    cfg = SamplerConfig(
+        subgraph_size=500, batch_size=8, num_neighbors=(5, 5), seed=0
+    )
+    sampler = SubgraphSampler(samples, cfg)
+    batch = sampler.sample_batch()
+
+    nodes, edges_meta = metadata(True, True)
+    model = AnalysisGNN(
+        metadata=(nodes, edges_meta),
+        in_channels=25,
+        hidden_channels=256,
+        out_channels=128,
+        task_dict=tasks,
+        num_layers=3,
+        dropout=0.3,
+        logit_fusion=False,
+        encoder_type="hybridgnn",
+    )
+    attrs = batch.node_attrs[NOTE]
+    args = (
+        batch.x_dict(),
+        batch.edge_index_dict(),
+        batch.batch,
+        attrs["pitch_spelling"],
+        attrs["key_signature"],
+        batch.num_target_nodes,
+    )
+    params = model.init(jax.random.PRNGKey(0), *args)
+    opt = make_optimizer(warmup_cosine_schedule(5e-3, total_steps=1000))
+    state = create_train_state(params, len(tasks), opt, jax.random.PRNGKey(1))
+    step_cfg = StepConfig(
+        task_dict=tasks,
+        active_tasks=tuple(t for t, _ in tasks),
+        mt_strategy="wloss",
+    )
+    train_step = make_train_step(model, opt, step_cfg)
+
+    # the number of *valid* message edges processed per step (each of the 3
+    # encoder layers + final conv touches every edge; count raw graph edges
+    # once per step for an implementation-independent denominator)
+    edges_per_batch = int(
+        sum(np.asarray(v) for v in batch.num_edges.values())
+    )
+
+    # warmup/compile
+    for _ in range(3):
+        state, aux = train_step(state, batch)
+    jax.block_until_ready(aux["total_loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, aux = train_step(state, batch)
+    jax.block_until_ready(aux["total_loss"])
+    dt = time.perf_counter() - t0
+
+    edges_per_s = edges_per_batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "hetero_train_edges_per_s_per_chip",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(edges_per_s / SPEED_OF_LIGHT_EDGES_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
