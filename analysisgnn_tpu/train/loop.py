@@ -1,0 +1,285 @@
+"""Continual-learning training orchestration.
+
+The trainer-level logic of the reference (Lightning ``Trainer`` +
+``ContinualAnalysisGNN`` hooks, analysisgnn/train/train_analysisgnn.py:
+237-260 and models/analysis.py:1082-1182): epoch loop, per-task epoch budget
+with task switching at boundaries (:1166-1182, ``set_task`` :1307-1324),
+frozen-teacher refresh at each switch (:1370-1378), optional EWC fisher
+accumulation from validation replay (:1326-1368), best/last checkpointing
+(Orbax instead of Lightning ModelCheckpoint), and CSV metric logging in place
+of W&B.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from analysisgnn_tpu.core.graph import metadata
+from analysisgnn_tpu.data.datamodule import AnalysisDataModule
+from analysisgnn_tpu.models.analysis import AnalysisGNN
+from analysisgnn_tpu.theory.vocab import TASK_DICT
+from analysisgnn_tpu.train.schedules import warmup_cosine_schedule
+from analysisgnn_tpu.train.state import (
+    create_train_state,
+    make_optimizer,
+    snapshot_ewc_anchor,
+    update_teacher,
+)
+from analysisgnn_tpu.train.step import (
+    StepConfig,
+    make_eval_step,
+    make_fisher_step,
+    make_train_step,
+)
+
+# composite main-task → constituent head names (reference set_task expansion,
+# models/analysis.py:1312-1320)
+RNA_TASKS = ("localkey", "tonkey", "quality", "root", "bass", "inversion", "degree1", "degree2")
+
+
+def expand_main_task(task: str, task_dict: Dict[str, int]) -> Tuple[str, ...]:
+    if task == "rna":
+        return RNA_TASKS
+    if task == "all":
+        return tuple(task_dict.keys())
+    return (task,)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # mirrors the reference CLI surface (train_analysisgnn.py:48-108)
+    num_layers: int = 3
+    hidden_channels: int = 256
+    out_channels: int = 128
+    dropout: float = 0.3
+    lr: float = 0.005
+    weight_decay: float = 5e-3
+    model: str = "HybridGNN"  # HybridGNN | HGT | MetricalGNN
+    use_jk: bool = True
+    logit_fusion: bool = False
+    use_rnn: bool = False
+    mt_strategy: str = "wloss"
+    lambda_dctn: float = 0.5
+    lambda_featl: float = 0.1
+    lambda_ewc: float = 2.0
+    use_ewc: bool = False
+    cl_training: bool = False
+    main_tasks: Tuple[str, ...] = ("all", "cadence", "rna")
+    epochs_per_task: Tuple[int, ...] = ()
+    num_epochs: int = 50
+    add_beats: bool = False
+    add_measures: bool = False
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    log_path: Optional[str] = None
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig, datamodule: AnalysisDataModule):
+        self.cfg = config
+        self.dm = datamodule
+        self.task_dict = dict(TASK_DICT)
+        nodes, edges = metadata(config.add_beats, config.add_measures)
+        self.model = AnalysisGNN(
+            metadata=(nodes, edges),
+            in_channels=datamodule.feature_dim,
+            hidden_channels=config.hidden_channels,
+            out_channels=config.out_channels,
+            task_dict=tuple(self.task_dict.items()),
+            num_layers=config.num_layers,
+            dropout=config.dropout,
+            use_jk=config.use_jk,
+            logit_fusion=config.logit_fusion,
+            use_rnn=config.use_rnn,
+            encoder_type=config.model.lower(),
+        )
+        self.history: List[Dict] = []
+        self.best_val = float("inf")
+        self._step_cache: Dict = {}
+
+    # ------------------------------------------------------------------ #
+
+    def _init_state(self, example_batch):
+        from analysisgnn_tpu.core.graph import NOTE
+
+        attrs = example_batch.node_attrs[NOTE]
+        args = (
+            example_batch.x_dict(),
+            example_batch.edge_index_dict(),
+            example_batch.batch,
+            attrs["pitch_spelling"],
+            attrs["key_signature"],
+            example_batch.num_target_nodes,
+        )
+        params = self.model.init(jax.random.PRNGKey(self.cfg.seed), *args)
+        total_steps = sum(self._epochs_per_task()) * max(
+            self.dm.steps_per_epoch(self.dm.main_tasks[0]), 1
+        )
+        schedule = warmup_cosine_schedule(self.cfg.lr, total_steps=max(total_steps, 10))
+        self.optimizer = make_optimizer(schedule, self.cfg.weight_decay)
+        return create_train_state(
+            params, len(self.task_dict), self.optimizer, jax.random.PRNGKey(self.cfg.seed + 1)
+        )
+
+    def _epochs_per_task(self) -> Tuple[int, ...]:
+        if self.cfg.epochs_per_task:
+            return self.cfg.epochs_per_task
+        n = len(self.dm.main_tasks) if self.cfg.cl_training else 1
+        return tuple([max(self.cfg.num_epochs // n, 1)] * n)
+
+    def _steps_for(self, active: Tuple[str, ...], previous: Tuple[str, ...]):
+        key = (active, previous)
+        if key not in self._step_cache:
+            sc = StepConfig(
+                task_dict=tuple(self.task_dict.items()),
+                active_tasks=active,
+                previous_tasks=previous,
+                mt_strategy=self.cfg.mt_strategy,
+                lambda_dctn=self.cfg.lambda_dctn,
+                lambda_featl=self.cfg.lambda_featl,
+                lambda_ewc=self.cfg.lambda_ewc,
+                use_ewc=self.cfg.use_ewc,
+            )
+            self._step_cache[key] = (
+                make_train_step(self.model, self.optimizer, sc),
+                make_eval_step(self.model, sc),
+                make_fisher_step(self.model, sc),
+            )
+        return self._step_cache[key]
+
+    def _log(self, record: Dict) -> None:
+        self.history.append(record)
+        if self.cfg.log_path:
+            os.makedirs(os.path.dirname(self.cfg.log_path) or ".", exist_ok=True)
+            with open(self.cfg.log_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+    def save_checkpoint(self, state, tag: str) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.cfg.checkpoint_dir, tag))
+        checkpointer = ocp.StandardCheckpointer()
+        checkpointer.save(path, state.params, force=True)
+        checkpointer.wait_until_finished()
+        return path
+
+    def restore_checkpoint(self, state, tag: str):
+        import dataclasses as dc
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.cfg.checkpoint_dir, tag))
+        checkpointer = ocp.StandardCheckpointer()
+        params = checkpointer.restore(path, state.params)
+        return dc.replace(state, params=params)
+
+    # ------------------------------------------------------------------ #
+
+    def fit(self, max_steps_per_epoch: Optional[int] = None):
+        cfg = self.cfg
+        requested = [t for t in cfg.main_tasks if t in self.dm.main_tasks]
+        if not requested:
+            requested = self.dm.main_tasks
+        main_tasks = requested if cfg.cl_training else [requested[0]]
+        epochs_per_task = self._epochs_per_task()
+        example = next(iter(self.dm.combined_train_batches(1)))
+        first_task = main_tasks[0]
+        state = self._init_state(example[first_task])
+
+        previous: Tuple[str, ...] = ()
+        for ti, main_task in enumerate(main_tasks):
+            if cfg.cl_training:
+                active = tuple(
+                    t
+                    for t in expand_main_task(main_task, self.task_dict)
+                    if t in self.dm.active_tasks(main_task)
+                )
+                train_source = lambda steps, mt=main_task: self.dm.train_batches(mt, steps)
+            else:
+                # combined mode: union of tasks, round-robin batches per task
+                active_by_task = {
+                    mt: self.dm.active_tasks(mt) for mt in self.dm.main_tasks
+                }
+                active = tuple(sorted({t for v in active_by_task.values() for t in v}))
+                train_source = None
+            train_step, eval_step, fisher_step = self._steps_for(active, previous)
+
+            for epoch in range(epochs_per_task[ti]):
+                t0 = time.time()
+                steps = max_steps_per_epoch or self.dm.steps_per_epoch(main_task)
+                losses = []
+                if cfg.cl_training:
+                    for batch in train_source(steps):
+                        state, aux = train_step(state, batch)
+                        losses.append(float(aux["total_loss"]))
+                else:
+                    for batch_dict in self.dm.combined_train_batches(steps):
+                        for mt, batch in batch_dict.items():
+                            ts, _, _ = self._steps_for(
+                                tuple(
+                                    t for t in active_by_task[mt]
+                                ),
+                                previous,
+                            )
+                            state, aux = ts(state, batch)
+                            losses.append(float(aux["total_loss"]))
+                # validation
+                val_metrics: Dict[str, float] = {}
+                count = 0
+                for mt in (main_tasks if cfg.cl_training else self.dm.main_tasks):
+                    _, ev, _ = self._steps_for(
+                        tuple(
+                            t
+                            for t in expand_main_task(mt, self.task_dict)
+                            if t in self.dm.active_tasks(mt)
+                        )
+                        if cfg.cl_training
+                        else tuple(self.dm.active_tasks(mt)),
+                        previous,
+                    )
+                    for batch in self.dm.val_batches(mt):
+                        m = ev(state, batch)
+                        for k, v in m.items():
+                            val_metrics[k] = val_metrics.get(k, 0.0) + float(v)
+                        count += 1
+                if count:
+                    val_metrics = {k: v / count for k, v in val_metrics.items()}
+                rec = {
+                    "task": main_task,
+                    "epoch": epoch,
+                    "train_loss": float(np.mean(losses)) if losses else None,
+                    "secs": round(time.time() - t0, 2),
+                    **{f"val/{k}": v for k, v in val_metrics.items()},
+                }
+                self._log(rec)
+                vl = val_metrics.get("total_loss")
+                if vl is not None and vl < self.best_val:
+                    self.best_val = vl
+                    self.save_checkpoint(state, "best")
+
+            # ---- task switch (reference on_validation_epoch_end) ----------
+            self.save_checkpoint(state, f"{main_task}_model")
+            if cfg.cl_training and ti < len(main_tasks) - 1:
+                previous = tuple(
+                    dict.fromkeys(
+                        previous + expand_main_task(main_task, self.task_dict)
+                    )
+                )
+                state = update_teacher(state)
+                if cfg.use_ewc:
+                    state = snapshot_ewc_anchor(state)
+                    # fisher from one replay batch per seen task (:1326-1368)
+                    for mt in main_tasks[: ti + 1]:
+                        for batch in self.dm.val_batches(mt):
+                            _, _, fs = self._steps_for(active, previous)
+                            state = fs(state, batch, np.float32(ti + 1))
+                            break
+        self.save_checkpoint(state, "last")
+        return state

@@ -1,0 +1,101 @@
+"""Continual-learning Trainer: CL task sequence, checkpoints, teacher swap."""
+
+import numpy as np
+import pytest
+
+from analysisgnn_tpu.data.corpus import samples_from_note_array
+from analysisgnn_tpu.data.datamodule import AnalysisDataModule, DataModuleConfig
+from analysisgnn_tpu.data.note_array import synthetic_score
+from analysisgnn_tpu.train.loop import TrainConfig, Trainer, expand_main_task
+from analysisgnn_tpu.theory.vocab import TASK_DICT
+
+
+def make_dm():
+    def label_pack(na):
+        return {
+            "cadence": (na["pitch"] % 4).astype(np.int64),
+            "localkey": (na["pitch"] % 50).astype(np.int64),
+            "tonkey": (na["pitch"] % 50).astype(np.int64),
+            "quality": (na["pitch"] % 15).astype(np.int64),
+            "root": (na["pitch"] % 38).astype(np.int64),
+            "bass": (na["pitch"] % 38).astype(np.int64),
+            "inversion": (na["pitch"] % 4).astype(np.int64),
+            "degree1": (na["pitch"] % 22).astype(np.int64),
+            "degree2": (na["pitch"] % 22).astype(np.int64),
+            "valid_label": np.ones(len(na), np.int64),
+        }
+
+    tasks = {}
+    for main in ("cadence", "rna"):
+        ss = []
+        for i in range(4):
+            na = synthetic_score(48, seed=i)
+            ss += samples_from_note_array(
+                na,
+                name=f"{main}{i}",
+                transpositions=("P1",),
+                add_beats=False,
+                add_measures=False,
+                labels=label_pack(na),
+                test=(i == 3),
+            )
+        tasks[main] = ss
+    return AnalysisDataModule(
+        tasks, DataModuleConfig(subgraph_size=24, batch_size=2, num_neighbors=(3,))
+    ).setup()
+
+
+def test_expand_main_task():
+    assert expand_main_task("cadence", TASK_DICT) == ("cadence",)
+    assert "localkey" in expand_main_task("rna", TASK_DICT)
+    assert len(expand_main_task("all", TASK_DICT)) == len(TASK_DICT)
+
+
+def test_cl_training_sequence(tmp_path):
+    dm = make_dm()
+    cfg = TrainConfig(
+        num_layers=1,
+        hidden_channels=16,
+        out_channels=8,
+        dropout=0.0,
+        cl_training=True,
+        main_tasks=("cadence", "rna"),
+        epochs_per_task=(1, 1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_path=str(tmp_path / "log.jsonl"),
+        lambda_dctn=0.5,
+        use_ewc=True,
+    )
+    trainer = Trainer(cfg, dm)
+    state = trainer.fit(max_steps_per_epoch=2)
+    assert (tmp_path / "ckpt" / "cadence_model").exists()
+    assert (tmp_path / "ckpt" / "rna_model").exists()
+    assert (tmp_path / "ckpt" / "last").exists()
+    assert len(trainer.history) == 2
+    assert np.isfinite(trainer.history[0]["train_loss"])
+    # teacher was refreshed at the switch → distillation fisher accumulated
+    fisher_norm = sum(
+        float(np.abs(np.asarray(l)).sum())
+        for l in __import__("jax").tree_util.tree_leaves(state.fisher)
+    )
+    assert fisher_norm > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    dm = make_dm()
+    cfg = TrainConfig(
+        num_layers=1, hidden_channels=16, out_channels=8, dropout=0.0,
+        cl_training=True, main_tasks=("cadence",), epochs_per_task=(1,),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    trainer = Trainer(cfg, dm)
+    state = trainer.fit(max_steps_per_epoch=1)
+    restored = trainer.restore_checkpoint(state, "last")
+    import jax
+
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        state.params,
+        restored.params,
+    )
+    assert all(jax.tree_util.tree_leaves(same))
