@@ -1,0 +1,214 @@
+"""``analysisgnn-tpu-train`` — the training entry point.
+
+Flag surface mirrors the reference CLI (analysisgnn/train/
+train_analysisgnn.py:48-108) including the JSON config overlay semantics
+(:128-136: the config file wins; CLI fills missing keys) and the comma-list
+``--num_epochs`` → per-task epoch schedule (:116-122).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, List
+
+from analysisgnn_tpu.theory.vocab import TASK_DICT
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train the TPU-native AnalysisGNN")
+    p.add_argument("--num_layers", type=int, default=3)
+    p.add_argument("--hidden_channels", type=int, default=256)
+    p.add_argument("--out_channels", type=int, default=128)
+    p.add_argument("--num_epochs", type=str, default="50",
+                   help="total epochs, or comma list = epochs per task")
+    p.add_argument("--dropout", type=float, default=0.3)
+    p.add_argument("--lr", type=float, default=0.005)
+    p.add_argument("--weight_decay", type=float, default=5e-3)
+    p.add_argument("--num_workers", type=int, default=5)
+    p.add_argument("--lambda_dctn", type=float, default=0.5)
+    p.add_argument("--lambda_featl", type=float, default=0.1)
+    p.add_argument("--lambda_ewc", type=float, default=2.0)
+    p.add_argument("--lambda_edge", type=float, default=0.1)
+    p.add_argument("--use_edge_loss", action="store_true")
+    p.add_argument("--model", type=str, default="HybridGNN",
+                   choices=["HybridGNN", "HGT", "MetricalGNN"])
+    p.add_argument("--use_jk", action="store_true")
+    p.add_argument("--raw_dir", type=str, default=None,
+                   help="root dir with per-main-task corpora (see docs)")
+    p.add_argument("--batch_size", type=int, default=100)
+    p.add_argument("--subgraph_size", type=int, default=500)
+    p.add_argument("--add_beats", action="store_true")
+    p.add_argument("--add_measures", action="store_true")
+    p.add_argument("--mt_strategy", type=str, default="wloss")
+    p.add_argument("--main_tasks", type=str, default="all,cadence,rna")
+    p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--random_split", action="store_true")
+    p.add_argument("--logit_fusion", action="store_true")
+    p.add_argument("--feature_type", type=str, default="simple",
+                   choices=["cadence", "simple"])
+    p.add_argument("--config_path", type=str, default=None)
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_eval", action="store_true")
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--use_transpositions", action="store_true")
+    p.add_argument("--use_ewc", action="store_true")
+    p.add_argument("--cl_training", action="store_true")
+    p.add_argument("--use_smote", action="store_true")
+    p.add_argument("--force_reload", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--demo", action="store_true",
+                   help="run on a small synthetic corpus (no data needed)")
+    p.add_argument("--max_steps_per_epoch", type=int, default=None)
+    return p
+
+
+def resolve_config(argv=None) -> Dict:
+    args = get_parser().parse_args(argv)
+    config = vars(args)
+    config["main_tasks"] = args.main_tasks.split(",")
+    epochs = args.num_epochs.split(",")
+    if len(epochs) == 1:
+        config["num_epochs"] = int(epochs[0])
+        config["epochs_per_task"] = [
+            config["num_epochs"] // len(config["main_tasks"])
+        ] * len(config["main_tasks"])
+    else:
+        config["epochs_per_task"] = [int(n) for n in epochs]
+        config["num_epochs"] = sum(config["epochs_per_task"])
+    config["task_dict"] = dict(TASK_DICT)
+    if args.config_path:
+        with open(args.config_path) as f:
+            file_cfg = json.load(f)
+        merged = dict(file_cfg)
+        for k, v in config.items():
+            if k not in merged:
+                merged[k] = v
+        config = merged
+    return config
+
+
+def build_datamodule(config: Dict):
+    from analysisgnn_tpu.data.corpus import CorpusConfig, DLCTsvCorpus, MusicXMLCorpus
+    from analysisgnn_tpu.data.datamodule import AnalysisDataModule, DataModuleConfig
+
+    feature_type = "voice" if config.get("feature_type") == "simple" else "cadence"
+    task_samples = {}
+    if config.get("demo") or not config.get("raw_dir"):
+        # synthetic corpus so the full pipeline runs without external data
+        import numpy as np
+
+        from analysisgnn_tpu.data.corpus import samples_from_note_array
+        from analysisgnn_tpu.data.note_array import synthetic_score
+
+        for mt in config["main_tasks"]:
+            ss = []
+            for i in range(6):
+                na = synthetic_score(200, seed=i)
+                labels = {
+                    t: (na["pitch"].astype(np.int64) * (j + 2)) % n_cls
+                    for j, (t, n_cls) in enumerate(TASK_DICT.items())
+                }
+                labels["valid_label"] = np.ones(len(na), np.int64)
+                ss += samples_from_note_array(
+                    na, name=f"{mt}{i}", labels=labels,
+                    transpositions=("P1",),
+                    add_beats=config.get("add_beats", False),
+                    add_measures=config.get("add_measures", False),
+                    feature_type=feature_type,
+                    test=(i >= 5),
+                )
+            task_samples[mt] = ss
+    else:
+        raw = config["raw_dir"]
+        ccfg = CorpusConfig(
+            cache_dir=os.path.join(raw, ".cache"),
+            feature_type=feature_type,
+            transpose=config.get("use_transpositions", False),
+            add_beats=config.get("add_beats", False),
+            add_measures=config.get("add_measures", False),
+            force_reload=config.get("force_reload", False),
+        )
+        for mt in config["main_tasks"]:
+            sub = os.path.join(raw, mt)
+            if not os.path.isdir(sub):
+                continue
+            has_tsv = any(f.endswith(".tsv") for _, _, fs in os.walk(sub) for f in fs)
+            corpus = (
+                DLCTsvCorpus(ccfg, sub, dlc=(mt != "rna"))
+                if has_tsv
+                else MusicXMLCorpus(ccfg, sub)
+            )
+            task_samples[mt] = corpus.load().samples
+    dm_cfg = DataModuleConfig(
+        subgraph_size=config.get("subgraph_size", 500),
+        batch_size=max(config.get("batch_size", 8) // 10, 2),
+        random_split=config.get("random_split", False),
+        augment=config.get("use_transpositions", False),
+        seed=config.get("seed", 0),
+        max_samples=config.get("max_samples"),
+    )
+    return AnalysisDataModule(task_samples, dm_cfg).setup()
+
+
+def main(argv=None) -> None:
+    config = resolve_config(argv)
+    from analysisgnn_tpu.train.loop import TrainConfig, Trainer
+
+    dm = build_datamodule(config)
+    tc = TrainConfig(
+        num_layers=config["num_layers"],
+        hidden_channels=config["hidden_channels"],
+        out_channels=config["out_channels"],
+        dropout=config["dropout"],
+        lr=config["lr"],
+        weight_decay=config["weight_decay"],
+        model=config["model"],
+        use_jk=config.get("use_jk", True),
+        logit_fusion=config.get("logit_fusion", False),
+        mt_strategy=config.get("mt_strategy", "wloss"),
+        lambda_dctn=config.get("lambda_dctn", 0.5),
+        lambda_featl=config.get("lambda_featl", 0.1),
+        lambda_ewc=config.get("lambda_ewc", 2.0),
+        use_ewc=config.get("use_ewc", False),
+        cl_training=config.get("cl_training", False),
+        main_tasks=tuple(config["main_tasks"]),
+        epochs_per_task=tuple(config.get("epochs_per_task", ())),
+        num_epochs=config["num_epochs"],
+        add_beats=config.get("add_beats", False),
+        add_measures=config.get("add_measures", False),
+        seed=config.get("seed", 0),
+        checkpoint_dir=config.get("checkpoint_dir", "checkpoints"),
+        log_path=os.path.join(config.get("checkpoint_dir", "checkpoints"), "log.jsonl"),
+    )
+    trainer = Trainer(tc, dm)
+    # persist the model-construction config next to checkpoints for predict
+    os.makedirs(tc.checkpoint_dir, exist_ok=True)
+    with open(os.path.join(tc.checkpoint_dir, "model_config.json"), "w") as f:
+        json.dump(
+            {
+                "num_layers": tc.num_layers,
+                "hidden_channels": tc.hidden_channels,
+                "out_channels": tc.out_channels,
+                "dropout": tc.dropout,
+                "model": tc.model,
+                "use_jk": tc.use_jk,
+                "logit_fusion": tc.logit_fusion,
+                "add_beats": tc.add_beats,
+                "add_measures": tc.add_measures,
+                "in_channels": dm.feature_dim,
+                "feature_type": config.get("feature_type", "simple"),
+            },
+            f,
+        )
+    if config.get("do_train"):
+        trainer.fit(max_steps_per_epoch=config.get("max_steps_per_epoch"))
+    if config.get("do_eval"):
+        print(json.dumps(trainer.history[-3:], indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,269 @@
+"""Score-level inference: full-graph forward, onset-wise aggregation, exports.
+
+Pipeline parity with the reference predict path (``ContinualAnalysisGNN.
+predict``, analysisgnn/models/analysis.py:1497-1593, and the CLI
+inference/predict_analysis.py): score file → note array → voice features →
+score graph (with beats+measures) → whole-graph model forward → softmax →
+onset-wise RNA aggregation and change-point smoothing
+(``onsetwise_logit_aggregation``, models/analysis.py:44-101) → decoded labels
+→ CSV / Roman-numeral MusicXML exports (predict_analysis.py:215-298).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from analysisgnn_tpu.core.graph import HeteroGraph, NOTE
+from analysisgnn_tpu.data.features import select_features
+from analysisgnn_tpu.data.graph_build import build_score_graph
+from analysisgnn_tpu.theory.encoders import KeySignatureEncoder, PitchEncoder
+from analysisgnn_tpu.theory.vocab import available_representations
+
+RNA_KEYS = ("quality", "inversion", "degree1", "degree2")
+
+
+def graph_from_note_array(
+    note_array: np.ndarray,
+    measures: Optional[np.ndarray] = None,
+    feature_type: str = "voice",
+    add_beats: bool = True,
+    add_measures: bool = True,
+) -> HeteroGraph:
+    feats = select_features(note_array, feature_type)
+    g = build_score_graph(
+        note_array, measures=measures, add_beats=add_beats, add_measures=add_measures
+    )
+    features = {NOTE: feats}
+    if add_beats:
+        features["beat"] = np.zeros((max(g.num_beats, 1), feats.shape[1]), np.float32)
+    if add_measures:
+        features["measure"] = np.zeros(
+            (max(g.num_measures, 1), feats.shape[1]), np.float32
+        )
+    attrs = {
+        "pitch_spelling": PitchEncoder().encode(note_array).astype(np.int64),
+        "key_signature": KeySignatureEncoder().encode(note_array).astype(np.int64),
+        "onset_div": note_array["onset_div"].astype(np.int64),
+    }
+    return HeteroGraph.from_numpy(
+        features, g.edges, node_attrs={NOTE: attrs}, num_target_nodes=len(note_array)
+    )
+
+
+def onsetwise_smooth(
+    probs: Dict[str, np.ndarray],
+    onset_edges: np.ndarray,
+    onset_div: np.ndarray,
+    rna_keys: Sequence[str] = RNA_KEYS,
+    tpc_in_label_mask: Optional[np.ndarray] = None,
+) -> Dict[str, np.ndarray]:
+    """Onset-wise aggregation + change-point smoothing of RNA probabilities
+    (reference onsetwise_logit_aggregation, models/analysis.py:44-101)."""
+    out = dict(probs)
+    if not all(k in probs for k in rna_keys):
+        return out
+    n = len(onset_div)
+    src, dst = onset_edges[0], onset_edges[1]
+    keep = (src != dst) & (src < n) & (dst < n)
+    src, dst = src[keep], dst[keep]
+    if tpc_in_label_mask is not None:
+        m = tpc_in_label_mask.astype(bool)
+        e = m[src] & m[dst]
+        src, dst = src[e], dst[e]
+
+    def softmax(x):
+        x = x - x.max(-1, keepdims=True)
+        e = np.exp(x)
+        return e / e.sum(-1, keepdims=True)
+
+    for k in rna_keys:
+        v = probs[k]
+        # (self + Σ neighbors) / count — torch_scatter mean-with-out semantics
+        acc = v.copy()
+        np.add.at(acc, dst, v[src])
+        counts = np.ones(n)
+        np.add.at(counts, dst, np.ones(len(dst)))
+        out[k] = softmax(acc / counts[:, None])
+
+    # change-point smoothing on the onset grid
+    onsets = onset_div - onset_div.min()
+    order = np.argsort(onsets, kind="stable")
+    uniq, first_idx = np.unique(onsets[order], return_index=True)
+    rep_rows = order[first_idx]  # one representative note per onset
+    for k in rna_keys:
+        preds = out[k][rep_rows].argmax(-1)
+        change = np.r_[0, np.flatnonzero(preds[1:] != preds[:-1]) + 1]
+        seg_of_onset = np.searchsorted(uniq[change], uniq, side="right") - 1
+        seg_rows = rep_rows[change]
+        note_onset_idx = np.searchsorted(uniq, onsets)
+        out[k] = out[k][seg_rows[seg_of_onset]][note_onset_idx]
+    return out
+
+
+def predict_score(
+    model,
+    params,
+    note_array: np.ndarray,
+    measures: Optional[np.ndarray] = None,
+    tasks: Optional[Sequence[str]] = None,
+    feature_type: str = "voice",
+    add_beats: bool = True,
+    add_measures: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Run the full-graph forward and return per-note class probabilities."""
+    import jax
+
+    graph = graph_from_note_array(
+        note_array, measures, feature_type, add_beats, add_measures
+    )
+    attrs = graph.node_attrs[NOTE]
+    logits = jax.jit(model.apply)(
+        params,
+        graph.x_dict(),
+        graph.edge_index_dict(),
+        graph.batch,
+        attrs["pitch_spelling"],
+        attrs["key_signature"],
+        graph.num_target_nodes,
+    )
+    probs = {k: np.asarray(jax.nn.softmax(v, -1)) for k, v in logits.items()}
+    if tasks:
+        probs = {k: v for k, v in probs.items() if k in tasks}
+    onset_edges = np.asarray(graph.edges((NOTE, "onset", NOTE)))
+    ne = int(graph.num_edges["note__onset__note"])
+    tpc_mask = (
+        probs["tpc_in_label"].argmax(-1) if "tpc_in_label" in probs else None
+    )
+    return onsetwise_smooth(
+        probs,
+        onset_edges[:, :ne],
+        note_array["onset_div"],
+        tpc_in_label_mask=tpc_mask,
+    )
+
+
+def decode_predictions(
+    probs: Dict[str, np.ndarray]
+) -> Dict[str, list]:
+    """Class-id → label decoding via the task vocabularies (reference
+    predict_step, models/analysis.py:1302-1305)."""
+    reps = available_representations()
+    out = {}
+    for task, p in probs.items():
+        ids = p.argmax(-1)
+        if task in reps:
+            out[task] = reps[task].decode(ids)
+        else:
+            out[task] = ids.tolist()
+    return out
+
+
+def export_predictions_csv(
+    path: str,
+    note_array: np.ndarray,
+    decoded: Dict[str, list],
+) -> None:
+    """Per-note CSV export (reference predict_analysis.py:215-222)."""
+    tasks = sorted(decoded.keys())
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["onset_div", "onset_beat", "pitch"] + tasks)
+        for i in range(len(note_array)):
+            w.writerow(
+                [
+                    int(note_array["onset_div"][i]),
+                    float(note_array["onset_beat"][i]),
+                    int(note_array["pitch"][i]),
+                ]
+                + [decoded[t][i] for t in tasks]
+            )
+
+
+def _roman_numeral_strings(decoded: Dict[str, list], note_array: np.ndarray):
+    """One (onset_div, rn_text) per unique onset where the numeral changes."""
+    onsets = note_array["onset_div"]
+    uniq, first = np.unique(onsets, return_index=True)
+    rn = decoded.get("romanNumeral")
+    key = decoded.get("localkey")
+    out = []
+    prev = None
+    for o, i in zip(uniq, first):
+        label = str(rn[i]) if rn else ""
+        if key:
+            label = f"{key[i]}:{label}"
+        if label != prev:
+            out.append((int(o), label))
+            prev = label
+    return out
+
+
+def export_roman_numerals_to_musicxml(
+    path: str,
+    note_array: np.ndarray,
+    decoded: Dict[str, list],
+    divisions: int = 4,
+) -> None:
+    """Write a MusicXML file with an "RNA" annotation part: one
+    percussion-clef staff whose notes carry the Roman-numeral labels as
+    lyrics at each harmony change (reference
+    export_roman_numerals_to_musicxml, predict_analysis.py:225-298)."""
+    changes = _roman_numeral_strings(decoded, note_array)
+    total = int((note_array["onset_div"] + note_array["duration_div"]).max())
+    parts = []
+    parts.append('<?xml version="1.0" encoding="UTF-8"?>')
+    parts.append('<score-partwise version="3.1">')
+    parts.append(
+        '<part-list><score-part id="RNA"><part-name>RNA</part-name></score-part></part-list>'
+    )
+    parts.append('<part id="RNA">')
+    ts_beats = int(note_array["ts_beats"][0])
+    measure_len = ts_beats * divisions
+    n_measures = max((total + measure_len - 1) // measure_len, 1)
+    ci = 0
+    for m in range(n_measures):
+        m_start = m * measure_len
+        parts.append(f'<measure number="{m + 1}">')
+        if m == 0:
+            parts.append(
+                f"<attributes><divisions>{divisions}</divisions>"
+                f"<time><beats>{ts_beats}</beats><beat-type>4</beat-type></time>"
+                "<clef><sign>percussion</sign></clef></attributes>"
+            )
+        cursor = m_start
+        while ci < len(changes) and changes[ci][0] < m_start + measure_len:
+            onset, label = changes[ci]
+            if onset > cursor:
+                parts.append(
+                    f"<note><rest/><duration>{onset - cursor}</duration></note>"
+                )
+                cursor = onset
+            nxt = (
+                changes[ci + 1][0]
+                if ci + 1 < len(changes)
+                else total
+            )
+            dur = max(min(nxt, m_start + measure_len) - cursor, 1)
+            parts.append(
+                "<note><unpitched><display-step>E</display-step>"
+                "<display-octave>4</display-octave></unpitched>"
+                f"<duration>{dur}</duration>"
+                f"<lyric><text>{label}</text></lyric></note>"
+            )
+            cursor += dur
+            if cursor >= m_start + measure_len:
+                break
+            ci += 1
+        if cursor < m_start + measure_len:
+            parts.append(
+                f"<note><rest/><duration>{m_start + measure_len - cursor}</duration></note>"
+            )
+        parts.append("</measure>")
+        while ci < len(changes) and changes[ci][0] < m_start + measure_len:
+            ci += 1
+    parts.append("</part></score-partwise>")
+    with open(path, "w") as f:
+        f.write("\n".join(parts))

@@ -1,0 +1,145 @@
+"""Inference pipeline, exports, CLI train→predict roundtrip, SMOTE."""
+
+import csv
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from analysisgnn_tpu.core.graph import NOTE, metadata
+from analysisgnn_tpu.data.note_array import synthetic_score
+from analysisgnn_tpu.inference.predict import (
+    decode_predictions,
+    export_predictions_csv,
+    export_roman_numerals_to_musicxml,
+    onsetwise_smooth,
+    predict_score,
+)
+from analysisgnn_tpu.models.analysis import AnalysisGNN
+from analysisgnn_tpu.theory.vocab import TASK_DICT
+from analysisgnn_tpu.train.smote import smote_oversample, smote_feature_penalty
+
+SCORE_XML = """<?xml version="1.0"?>
+<score-partwise version="3.1">
+  <part-list><score-part id="P1"/></part-list>
+  <part id="P1">
+    <measure number="1">
+      <attributes><divisions>1</divisions>
+        <time><beats>4</beats><beat-type>4</beat-type></time></attributes>
+      <note><pitch><step>C</step><octave>4</octave></pitch><duration>1</duration></note>
+      <note><pitch><step>E</step><octave>4</octave></pitch><duration>1</duration></note>
+      <note><pitch><step>G</step><octave>4</octave></pitch><duration>1</duration></note>
+      <note><pitch><step>C</step><octave>5</octave></pitch><duration>1</duration></note>
+    </measure>
+    <measure number="2">
+      <note><pitch><step>D</step><octave>4</octave></pitch><duration>2</duration></note>
+      <note><pitch><step>F</step><octave>4</octave></pitch><duration>2</duration></note>
+    </measure>
+  </part>
+</score-partwise>
+"""
+
+
+def small_model():
+    nodes, edges = metadata(False, False)
+    return AnalysisGNN(
+        metadata=(nodes, edges),
+        in_channels=25,
+        hidden_channels=16,
+        out_channels=8,
+        task_dict=tuple(TASK_DICT.items()),
+        num_layers=1,
+        dropout=0.0,
+    )
+
+
+def test_predict_score_and_exports(tmp_path):
+    model = small_model()
+    na = synthetic_score(30, seed=0)
+    from analysisgnn_tpu.inference.predict import graph_from_note_array
+
+    g = graph_from_note_array(na, add_beats=False, add_measures=False)
+    attrs = g.node_attrs[NOTE]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        g.x_dict(), g.edge_index_dict(), g.batch,
+        attrs["pitch_spelling"], attrs["key_signature"], g.num_target_nodes,
+    )
+    probs = predict_score(model, params, na, add_beats=False, add_measures=False)
+    assert set(TASK_DICT).issubset(probs.keys())
+    for k, v in probs.items():
+        assert v.shape[0] == len(na)
+        np.testing.assert_allclose(v.sum(-1), 1.0, rtol=1e-3)
+    decoded = decode_predictions(probs)
+    assert len(decoded["localkey"]) == len(na)
+    csv_path = str(tmp_path / "out.csv")
+    export_predictions_csv(csv_path, na, decoded)
+    rows = list(csv.reader(open(csv_path)))
+    assert len(rows) == len(na) + 1
+    xml_path = str(tmp_path / "rna.musicxml")
+    export_roman_numerals_to_musicxml(xml_path, na, decoded)
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(xml_path).getroot()
+    assert root.tag == "score-partwise"
+    assert root.findall(".//lyric/text")
+
+
+def test_onsetwise_smooth_constant_within_segments():
+    n = 6
+    onset_div = np.array([0, 0, 4, 4, 8, 8])
+    onset_edges = np.array([[0, 1, 2, 3, 4, 5], [1, 0, 3, 2, 5, 4]])
+    rng = np.random.default_rng(0)
+    probs = {k: rng.random((n, 5)).astype(np.float32) for k in
+             ("quality", "inversion", "degree1", "degree2")}
+    probs = {k: v / v.sum(-1, keepdims=True) for k, v in probs.items()}
+    out = onsetwise_smooth(probs, onset_edges, onset_div)
+    for k in out:
+        # notes sharing an onset get identical distributions
+        np.testing.assert_allclose(out[k][0], out[k][1], rtol=1e-5)
+        np.testing.assert_allclose(out[k][2], out[k][3], rtol=1e-5)
+
+
+def test_cli_train_predict_roundtrip(tmp_path):
+    from analysisgnn_tpu.cli import predict as predict_cli
+    from analysisgnn_tpu.cli import train as train_cli
+
+    ckpt = str(tmp_path / "ckpt")
+    train_cli.main([
+        "--demo", "--do_train",
+        "--num_layers", "1", "--hidden_channels", "16", "--out_channels", "8",
+        "--num_epochs", "1", "--subgraph_size", "24", "--batch_size", "20",
+        "--main_tasks", "all", "--checkpoint_dir", ckpt,
+        "--max_steps_per_epoch", "2",
+    ])
+    assert os.path.exists(os.path.join(ckpt, "model_config.json"))
+    assert os.path.exists(os.path.join(ckpt, "last"))
+    score = tmp_path / "score.xml"
+    score.write_text(SCORE_XML)
+    out_csv = str(tmp_path / "analysis.csv")
+    out_xml = str(tmp_path / "rna.musicxml")
+    predict_cli.main([
+        "--score", str(score), "--checkpoint_dir", ckpt, "--checkpoint", "last",
+        "--output_csv", out_csv, "--output_musicxml", out_xml,
+    ])
+    assert os.path.exists(out_csv) and os.path.exists(out_xml)
+    rows = list(csv.reader(open(out_csv)))
+    assert len(rows) == 7  # 6 notes + header
+
+
+def test_smote_shapes_and_penalty():
+    rng = np.random.default_rng(0)
+    x = jax.numpy.asarray(rng.normal(size=(40, 8)), jax.numpy.float32)
+    y = jax.numpy.asarray(np.r_[np.zeros(30), np.ones(10)].astype(np.int32))
+    w = jax.numpy.ones(40, bool)
+    xs, ys, ws = smote_oversample(
+        x, y, w, jax.random.PRNGKey(0), num_classes=2, num_synthetic=16, k=3
+    )
+    assert xs.shape == (16, 8) and ys.shape == (16,)
+    assert bool(ws.all())
+    # deficit sampling: all synthetic rows belong to the minority class
+    assert (np.asarray(ys) == 1).all()
+    pen = smote_feature_penalty(xs, ws, x, y, ys, w)
+    assert np.isfinite(float(pen))
