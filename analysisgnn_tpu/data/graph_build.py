@@ -114,6 +114,7 @@ def build_score_graph(
     measures: Optional[np.ndarray] = None,
     add_beats: bool = True,
     add_measures: bool = True,
+    use_native: bool = True,
 ) -> ScoreGraphArrays:
     """note array (sorted by onset_div, pitch) → typed edge lists.
 
@@ -129,10 +130,24 @@ def build_score_graph(
     n = len(onset)
 
     edges: Dict[EdgeType, np.ndarray] = {}
-    edges[(NOTE, "onset", NOTE)] = _onset_edges(onset)
-    consecutive = _range_edges(onset, end, end, "left", "right")
-    during = _range_edges(onset, onset, end, "right", "left")
-    rest = _rest_edges(onset, end)
+    native = None
+    if use_native:
+        from analysisgnn_tpu.data.native import build_note_edges_native
+
+        try:
+            native = build_note_edges_native(onset, dur)
+        except Exception:
+            native = None
+    if native is not None:
+        edges[(NOTE, "onset", NOTE)] = native["onset"]
+        consecutive = native["consecutive"]
+        during = native["during"]
+        rest = native["rest"]
+    else:
+        edges[(NOTE, "onset", NOTE)] = _onset_edges(onset)
+        consecutive = _range_edges(onset, end, end, "left", "right")
+        during = _range_edges(onset, onset, end, "right", "left")
+        rest = _rest_edges(onset, end)
     edges[(NOTE, "consecutive", NOTE)] = consecutive
     edges[(NOTE, "during", NOTE)] = during
     edges[(NOTE, "rest", NOTE)] = rest

@@ -110,19 +110,35 @@ def main() -> None:
         sum(np.asarray(v) for v in batch.num_edges.values())
     )
 
-    # warmup/compile
-    for _ in range(3):
-        state, aux = train_step(state, batch)
-    jax.block_until_ready(aux["total_loss"])
+    # Stage S pre-sampled batches on device and scan the train step over them
+    # inside ONE jit dispatch — measures steady-state device throughput, not
+    # per-dispatch host/tunnel latency.
+    S = 8
+    batches = [sampler.sample_batch() for _ in range(S)]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jax.numpy.stack(xs, axis=0), *batches
+    )
 
-    iters = 20
+    @jax.jit
+    def run_epoch(state, stacked):
+        def body(s, b):
+            s, aux = train_step(s, b)
+            return s, aux["total_loss"]
+
+        return jax.lax.scan(body, state, stacked)
+
+    # warmup/compile
+    state2, losses = run_epoch(state, stacked)
+    jax.block_until_ready(losses)
+
+    iters = 3  # 3 dispatches × S steps
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, aux = train_step(state, batch)
-    jax.block_until_ready(aux["total_loss"])
+        state, losses = run_epoch(state, stacked)
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 
-    edges_per_s = edges_per_batch * iters / dt
+    edges_per_s = edges_per_batch * S * iters / dt
     print(
         json.dumps(
             {
