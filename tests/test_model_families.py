@@ -1,0 +1,140 @@
+"""Chord/cadence/pre-encoder model families + pooling + composite metrics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from analysisgnn_tpu.core.graph import NOTE, metadata
+from analysisgnn_tpu.models.cadence import CadenceGNN
+from analysisgnn_tpu.models.chord import (
+    ChordPredictionModel,
+    MultiTaskMLP,
+    NadeClassifierLayer,
+    PostProcessingMLT,
+    chord_symbol_recall,
+    romnum_accuracy,
+)
+from analysisgnn_tpu.models.pooling import onset_group_ids, unique_onset_mask
+from analysisgnn_tpu.models.pre_encoder import PreEncoder, derive_truth_edges, isin_pairwise
+from analysisgnn_tpu.models.rnn import segment_starts
+
+from tests.test_models import build_inputs
+
+TASKS = (("localkey", 10), ("quality", 5), ("inversion", 4))
+
+
+def test_onset_group_ids():
+    onset = jnp.asarray([0, 0, 4, 4, 4, 8])
+    batch = jnp.asarray([0, 0, 0, 0, 0, 1])
+    first, gid = onset_group_ids(onset, batch)
+    assert np.asarray(first).tolist() == [True, False, True, False, False, True]
+    assert np.asarray(gid).tolist() == [0, 0, 1, 1, 1, 2]
+    m = unique_onset_mask(onset, batch, jnp.ones(6, bool))
+    assert np.asarray(m).sum() == 3
+
+
+def test_nade_and_mlp_heads():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(7, 16)), jnp.float32)
+    for mod in (MultiTaskMLP(16, TASKS), NadeClassifierLayer(16, TASKS)):
+        params = mod.init(jax.random.PRNGKey(0), x)
+        out = mod.apply(params, x)
+        assert set(out) == {t for t, _ in TASKS}
+        for t, n_cls in TASKS:
+            assert out[t].shape == (7, n_cls)
+
+
+def test_chord_prediction_model():
+    graph = build_inputs(num_notes=40, with_metrical=False)
+    nodes, edges = metadata(False, False)
+    model = ChordPredictionModel(
+        hidden=16, task_dict=TASKS, num_layers=1, edge_types=edges
+    )
+    attrs = graph.node_attrs[NOTE]
+    args = (
+        graph.x_dict(), graph.edge_index_dict(), graph.batch,
+        attrs["pitch_spelling"].astype(jnp.int32) * 0 + jnp.asarray(
+            np.arange(graph.capacity(NOTE)) // 3
+        ),  # fake onset_div groups
+        graph.target_mask(),
+    )
+    params = model.init(jax.random.PRNGKey(0), *args)
+    logits, group_valid = model.apply(params, *args)
+    for t, n_cls in TASKS:
+        assert logits[t].shape == (graph.capacity(NOTE), n_cls)
+        assert np.isfinite(np.asarray(logits[t])).all()
+
+
+def test_post_processing_mlt():
+    probs = {t: jnp.ones((10, n)) / n for t, n in TASKS}
+    starts = segment_starts(jnp.zeros(10, jnp.int32))
+    mod = PostProcessingMLT(8, TASKS)
+    params = mod.init(jax.random.PRNGKey(0), probs, starts)
+    out = mod.apply(params, probs, starts)
+    assert out["localkey"].shape == (10, 10)
+
+
+def test_cadence_gnn():
+    graph = build_inputs(num_notes=40, with_metrical=True)
+    nodes, edges = metadata(True, True)
+    model = CadenceGNN(hidden=16, num_layers=2, edge_types=edges, metrical=True)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        graph.x_dict(), graph.edge_index_dict(), graph.batch,
+        graph.num_target_nodes,
+    )
+    logits = model.apply(
+        params, graph.x_dict(), graph.edge_index_dict(), graph.batch,
+        graph.num_target_nodes,
+    )
+    assert logits.shape == (graph.capacity(NOTE), 4)
+
+
+def test_isin_pairwise_and_truth_edges():
+    elem = jnp.asarray([[0, 1, 2], [1, 2, 3]])
+    test = jnp.asarray([[0, 9], [1, 9]])
+    hits = isin_pairwise(
+        elem, test, jnp.ones(3, bool), jnp.asarray([True, False])
+    )
+    assert np.asarray(hits).tolist() == [True, False, False]
+    cons = jnp.asarray([[0, 1, 2], [1, 2, 3]])
+    onset = jnp.asarray([[0], [2]])
+    voice = jnp.asarray([1, 1, 2, 2])
+    staff = jnp.asarray([1, 1, 1, 2])
+    v_true, s_true = derive_truth_edges(cons, onset, voice, staff, 4)
+    # edge (0,1): same voice+staff → kept; (1,2): diff voice → masked to 4
+    assert np.asarray(v_true)[0].tolist() == [0, 4, 4]
+    assert np.asarray(s_true).shape == (2, 4)
+
+
+def test_pre_encoder_forward():
+    graph = build_inputs(num_notes=30, with_metrical=False)
+    nodes, edges = metadata(False, False)
+    model = PreEncoder(hidden=16, num_layers=1, edge_types=edges)
+    cand = graph.edges((NOTE, "consecutive", NOTE))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        graph.x_dict(), graph.edge_index_dict(), graph.batch, cand, cand,
+    )
+    staff_l, voice_l, fifths_l, spell_l = model.apply(
+        params, graph.x_dict(), graph.edge_index_dict(), graph.batch, cand, cand
+    )
+    assert staff_l.shape == (cand.shape[1],)
+    assert fifths_l.shape == (graph.capacity(NOTE), 15)
+    assert spell_l.shape == (graph.capacity(NOTE), 35)
+
+
+def test_romnum_and_csr_metrics():
+    logits = {
+        "quality": jnp.asarray([[0.0, 5.0], [5.0, 0.0]]),
+        "inversion": jnp.asarray([[5.0, 0.0], [5.0, 0.0]]),
+    }
+    labels = {"quality": jnp.asarray([1, 0]), "inversion": jnp.asarray([0, 1])}
+    w = jnp.ones(2, bool)
+    acc = romnum_accuracy(logits, labels, w, keys=("quality", "inversion"))
+    # row0: quality ✓ inversion ✓ → correct; row1: quality ✓ inversion ✗
+    np.testing.assert_allclose(float(acc), 0.5)
+    csr = chord_symbol_recall(
+        logits, labels, jnp.asarray([3.0, 1.0]), w, keys=("quality", "inversion")
+    )
+    np.testing.assert_allclose(float(csr), 0.75)
