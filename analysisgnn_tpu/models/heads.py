@@ -35,6 +35,41 @@ class CrossTaskTransformer(nn.Module):
         return nn.LayerNorm()(task_projections + attended)
 
 
+class FusedTaskHeads(nn.Module):
+    """All per-task 2-layer heads as batched einsums over a task axis.
+
+    Architecturally identical to T independent HeadMLPs (Dense → ReLU → LN →
+    Dense), but T× fewer kernels: second-layer outputs are padded to the
+    largest class count and sliced per task."""
+
+    task_dict: Tuple[Tuple[str, int], ...]
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
+        t = len(self.task_dict)
+        f = x.shape[-1]
+        h = self.hidden
+        c_max = max(n for _, n in self.task_dict)
+        init = nn.initializers.lecun_normal()
+        w1 = self.param("w1", init, (t, f, h))
+        b1 = self.param("b1", nn.initializers.zeros, (t, 1, h))
+        ln_scale = self.param("ln_scale", nn.initializers.ones, (t, 1, h))
+        ln_bias = self.param("ln_bias", nn.initializers.zeros, (t, 1, h))
+        w2 = self.param("w2", init, (t, h, c_max))
+        b2 = self.param("b2", nn.initializers.zeros, (t, 1, c_max))
+        z = jnp.einsum("nf,tfh->tnh", x, w1) + b1
+        z = nn.relu(z)
+        mean = z.mean(-1, keepdims=True)
+        var = ((z - mean) ** 2).mean(-1, keepdims=True)
+        z = (z - mean) * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
+        logits = jnp.einsum("tnh,thc->tnc", z, w2) + b2
+        return {
+            task: logits[i, :, :n_cls]
+            for i, (task, n_cls) in enumerate(self.task_dict)
+        }
+
+
 class TaskHeads(nn.Module):
     """All per-task heads + optional cross-task logit fusion
     (reference ``forward_clf``, models/analysis.py:546-569)."""
@@ -49,10 +84,7 @@ class TaskHeads(nn.Module):
         self, x: jax.Array, deterministic: bool = True
     ) -> Dict[str, jax.Array]:
         half = self.out_channels // 2
-        raw = {
-            task: HeadMLP(half, n_cls, name=f"clf_{task}")(x)
-            for task, n_cls in self.task_dict
-        }
+        raw = FusedTaskHeads(self.task_dict, half, name="clf")(x)
         if not self.logit_fusion:
             return raw
         projs = []

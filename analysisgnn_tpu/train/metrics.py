@@ -96,6 +96,45 @@ def onsetwise_rna_accuracy(
     return (ok.astype(jnp.float32) * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
+def roc_auc(scores: jax.Array, labels: jax.Array, weight: jax.Array) -> jax.Array:
+    """Binary ROC-AUC via the rank-sum (Mann-Whitney) identity, masked —
+    the jit-friendly replacement for sklearn's roc_auc_score used by the
+    reference VoiceSeparationAUC (analysisgnn/metrics/eval.py:7-23)."""
+    w = weight.astype(jnp.float32)
+    pos = labels.astype(jnp.float32) * w
+    neg = (1.0 - labels.astype(jnp.float32)) * w
+    # rank scores (average ranks for ties via double argsort on perturbed keys)
+    order = jnp.argsort(scores)
+    ranks = jnp.zeros_like(scores).at[order].set(
+        jnp.arange(1, scores.shape[0] + 1, dtype=scores.dtype)
+    )
+    n_pos = pos.sum()
+    n_neg = neg.sum()
+    rank_sum = (ranks * pos).sum()
+    auc = (rank_sum - n_pos * (n_pos + 1) / 2) / jnp.maximum(n_pos * n_neg, 1.0)
+    return jnp.where((n_pos > 0) & (n_neg > 0), auc, 0.5)
+
+
+def linear_assignment_score(
+    edge_index: jax.Array,
+    scores: jax.Array,
+    target_node_mask: jax.Array,
+    num_nodes: int,
+    threshold: float = 0.3,
+) -> jax.Array:
+    """Degree-deviation score for link-prediction assignments (reference
+    LinearAssignmentScore, analysisgnn/metrics/eval.py:26-43): thresholded
+    predictions should form a near-perfect matching on target nodes."""
+    pred = (scores > threshold).astype(jnp.float32)
+    add_row = jax.ops.segment_sum(pred, edge_index[0], num_segments=num_nodes)
+    add_col = jax.ops.segment_sum(pred, edge_index[1], num_segments=num_nodes)
+    ones = target_node_mask.astype(jnp.float32)
+    score = jnp.sqrt(((ones - add_row) ** 2).sum()) + jnp.sqrt(
+        ((ones - add_col) ** 2).sum()
+    )
+    return score / num_nodes
+
+
 def nct_rna_accuracy(
     logits_dict: Dict[str, jax.Array],
     labels_dict: Dict[str, jax.Array],
