@@ -62,6 +62,7 @@ class AnalysisGNN(nn.Module):
     logit_fusion: bool = False
     use_rnn: bool = False
     encoder_type: str = "hybridgnn"
+    use_edge_decoder: bool = False
 
     def setup(self):
         node_types, edge_types = self.metadata
@@ -97,6 +98,18 @@ class AnalysisGNN(nn.Module):
             self.rnn = StackedBiGRU(self.out_channels, num_layers=2, name="rnn")
             self.rnn_norm = nn.LayerNorm(name="rnn_norm")
             self.rnn_proj = nn.Dense(self.out_channels, name="rnn_proj")
+        if self.use_edge_decoder:
+            from analysisgnn_tpu.models.heads import EdgeDecoder
+
+            _, edge_types = self.metadata
+            self.edge_decoder = EdgeDecoder(
+                channels=self.out_channels,
+                relations=tuple(
+                    sorted({e[1] for e in edge_types if e[0] == NOTE and e[2] == NOTE})
+                ),
+                dropout=self.dropout,
+                name="edge_decoder",
+            )
 
     # ------------------------------------------------------------------ #
 
@@ -142,6 +155,42 @@ class AnalysisGNN(nn.Module):
 
     def classify(self, x: jax.Array, deterministic: bool = True) -> Dict[str, jax.Array]:
         return self.heads(x, deterministic=deterministic)
+
+    def full_init(
+        self,
+        x_dict,
+        edge_index_dict,
+        batch_dict,
+        pitch_spelling,
+        key_signature,
+        num_target_nodes,
+        deterministic: bool = True,
+    ):
+        """Initialization entry that touches every submodule (incl. the edge
+        decoder, which ``__call__`` does not reach)."""
+        x = self.encode(
+            x_dict, edge_index_dict, batch_dict, pitch_spelling, key_signature,
+            num_target_nodes, deterministic=deterministic,
+        )
+        logits = self.classify(x, deterministic=deterministic)
+        if self.use_edge_decoder:
+            nn_edges = {
+                et: ei
+                for et, ei in edge_index_dict.items()
+                if et[0] == NOTE and et[2] == NOTE
+            }
+            self.decode_edges(x, nn_edges, deterministic=deterministic)
+        return logits
+
+    def decode_edges(
+        self,
+        x: jax.Array,
+        edge_index_dict: Dict[EdgeType, jax.Array],
+        deterministic: bool = True,
+    ) -> Dict[EdgeType, jax.Array]:
+        """Per-relation same-label edge logits (edge-consistency loss,
+        reference models/analysis.py:986-1019)."""
+        return self.edge_decoder(edge_index_dict, x, deterministic=deterministic)
 
     def __call__(
         self,

@@ -119,21 +119,29 @@ class EdgeDecoder(nn.Module):
         x: jax.Array,
         deterministic: bool = True,
     ) -> Dict[Tuple[str, str, str], jax.Array]:
+        embed_dense = {
+            rel: nn.Dense(self.channels, name=f"embed_{rel}_dense")
+            for rel in self.relations
+        }
+        embed_norm = {
+            rel: nn.LayerNorm(name=f"embed_{rel}_norm") for rel in self.relations
+        }
+        drop = nn.Dropout(self.dropout)
+
         def embed(rel: str, h: jax.Array) -> jax.Array:
-            h = nn.Dense(self.channels, name=f"embed_{rel}_dense")(h)
+            h = embed_dense[rel](h)
             h = nn.relu(h)
-            h = nn.LayerNorm(name=f"embed_{rel}_norm")(h)
-            return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = embed_norm[rel](h)
+            return drop(h, deterministic=deterministic)
+
+        fc_dense1 = nn.Dense(self.channels, name="fc_dense1")
+        fc_norm = nn.LayerNorm(name="fc_norm")
+        fc_dense2 = nn.Dense(2, name="fc_dense2")
+
+        def fc(h: jax.Array) -> jax.Array:
+            return fc_dense2(fc_norm(nn.relu(fc_dense1(h))))
 
         out: Dict[Tuple[str, str, str], jax.Array] = {}
-        fc = nn.Sequential(
-            [
-                nn.Dense(self.channels),
-                nn.relu,
-                nn.LayerNorm(),
-                nn.Dense(2),
-            ]
-        )
         n = x.shape[0]
         for et, ei in edge_index_dict.items():
             rel = et[1]

@@ -30,6 +30,7 @@ class TrainState:
     fisher: Any  # EWC fisher diagonal (zeros when unused)
     means: Any  # EWC anchor params
     rng: jax.Array
+    famo: Any = None  # FAMOState when mt_strategy == "famo"
 
 
 def create_train_state(
@@ -37,10 +38,14 @@ def create_train_state(
     num_tasks: int,
     optimizer: optax.GradientTransformation,
     rng: jax.Array,
+    mt_strategy: str = "wloss",
 ) -> TrainState:
+    from analysisgnn_tpu.train.losses import famo_init
+
     mt = init_mt_params(num_tasks)
     opt_state = optimizer.init((params, mt))
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    famo = famo_init(num_tasks)[0] if mt_strategy == "famo" else None
     return TrainState(
         step=jnp.asarray(0, jnp.int32),
         params=params,
@@ -50,6 +55,7 @@ def create_train_state(
         fisher=zeros,
         means=params,
         rng=rng,
+        famo=famo,
     )
 
 

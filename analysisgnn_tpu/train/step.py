@@ -27,6 +27,9 @@ from analysisgnn_tpu.core.graph import HeteroGraph, NOTE
 from analysisgnn_tpu.train.losses import (
     distillation_loss,
     ewc_penalty,
+    famo_init,
+    famo_update,
+    famo_weighted_loss,
     masked_cross_entropy,
     multi_task_loss,
 )
@@ -56,6 +59,11 @@ class StepConfig:
     lambda_ewc: float = 2.0
     use_ewc: bool = False
     label_smoothing: float = 0.1
+    use_edge_loss: bool = False
+    lambda_edge: float = 0.1
+
+# RNA label set defining edge-consistency targets (reference :988)
+EDGE_LOSS_RNA_KEYS = ("quality", "inversion", "degree1", "degree2", "localkey")
 
 
 def _task_weights(
@@ -85,6 +93,7 @@ def compute_losses(
     cfg: StepConfig,
     rngs: Optional[dict],
     deterministic: bool,
+    famo_state=None,
 ):
     """Shared forward + loss assembly for train and eval."""
     task_sizes = dict(cfg.task_dict)
@@ -122,8 +131,52 @@ def compute_losses(
         )
         metrics[f"{task}_acc"] = masked_accuracy(logits[task], labels, w)
     task_order = tuple(t for t, _ in cfg.task_dict)
-    total = multi_task_loss(task_losses, mt_params, task_order, cfg.mt_strategy)
-    total = total / max(len(task_losses), 1)
+    if cfg.mt_strategy == "famo" and famo_state is not None:
+        loss_vec = jnp.stack(
+            [task_losses.get(t, jnp.asarray(0.0)) for t in task_order]
+        )
+        mask_vec = jnp.asarray([t in task_losses for t in task_order])
+        total, _ = famo_weighted_loss(famo_state, loss_vec, mask_vec)
+    else:
+        total = multi_task_loss(task_losses, mt_params, task_order, cfg.mt_strategy)
+        total = total / max(len(task_losses), 1)
+
+    # edge-consistency loss (reference :986-1019): binary per-edge labels,
+    # true when ALL RNA labels agree between endpoints
+    if cfg.use_edge_loss and all(k in attrs for k in EDGE_LOSS_RNA_KEYS):
+        from analysisgnn_tpu.models.analysis import restrict_edges_to_targets
+
+        n_cap = x.shape[0]
+        note_note = {
+            et: restrict_edges_to_targets(
+                ei, batch.num_target_nodes, n_cap, drop_self_loops=False
+            )
+            for et, ei in batch.edge_index_dict().items()
+            if et[0] == NOTE and et[2] == NOTE
+        }
+        edge_logits = model.apply(
+            params, x, note_note, deterministic=deterministic,
+            method=model.decode_edges, rngs=rngs,
+        )
+        e_losses = []
+        for et, logits_e in edge_logits.items():
+            ei = note_note[et]
+            valid_e = (ei[0] < n_cap) & (ei[1] < n_cap)
+            same = jnp.ones_like(valid_e)
+            for k in EDGE_LOSS_RNA_KEYS:
+                lab = attrs[k]
+                a = lab[jnp.minimum(ei[0], n_cap - 1)]
+                b = lab[jnp.minimum(ei[1], n_cap - 1)]
+                same = same & (a == b)
+            e_losses.append(
+                masked_cross_entropy(
+                    logits_e, same.astype(jnp.int32), valid_e, cfg.label_smoothing
+                )
+            )
+        if e_losses:
+            edge_loss = cfg.lambda_edge * jnp.stack(e_losses).mean()
+            total = total + edge_loss
+            metrics["edge_loss"] = edge_loss
 
     memory_loss = jnp.asarray(0.0)
     if cfg.previous_tasks and cfg.lambda_dctn > 0:
@@ -149,7 +202,8 @@ def make_train_step(model, optimizer: optax.GradientTransformation, cfg: StepCon
         params, mt_params = trainables
         rngs = {"dropout": rng}
         total, feature_loss, memory_loss, task_losses, metrics = compute_losses(
-            model, params, mt_params, state.teacher_params, batch, cfg, rngs, False
+            model, params, mt_params, state.teacher_params, batch, cfg, rngs,
+            False, famo_state=state.famo,
         )
         loss = total + memory_loss + cfg.lambda_featl * feature_loss
         if cfg.use_ewc:
@@ -166,6 +220,9 @@ def make_train_step(model, optimizer: optax.GradientTransformation, cfg: StepCon
         }
         return loss, aux
 
+    task_order = tuple(t for t, _ in cfg.task_dict)
+    famo_opt = famo_init(len(task_order))[1] if cfg.mt_strategy == "famo" else None
+
     @jax.jit
     def train_step(state: TrainState, batch: HeteroGraph):
         rng, new_rng = jax.random.split(state.rng)
@@ -178,6 +235,18 @@ def make_train_step(model, optimizer: optax.GradientTransformation, cfg: StepCon
         new_params, new_mt = optax.apply_updates(
             (state.params, state.mt_params), updates
         )
+        new_famo = state.famo
+        if cfg.mt_strategy == "famo" and state.famo is not None:
+            # task-logit update from the previous step's losses vs this
+            # step's (reference FAMO.update, models/analysis.py:323-332),
+            # then record this step's losses as the new anchor
+            curr = jnp.stack(
+                [aux.get(f"{t}_loss", jnp.asarray(0.0)) for t in task_order]
+            )
+            active = jnp.asarray([t in cfg.active_tasks for t in task_order])
+            new_famo = famo_update(state.famo, famo_opt, curr)._replace(
+                prev_loss=jnp.where(active, curr, state.famo.prev_loss)
+            )
         new_state = dataclasses.replace(
             state,
             step=state.step + 1,
@@ -185,6 +254,7 @@ def make_train_step(model, optimizer: optax.GradientTransformation, cfg: StepCon
             mt_params=new_mt,
             opt_state=new_opt_state,
             rng=new_rng,
+            famo=new_famo,
         )
         return new_state, aux
 

@@ -133,3 +133,67 @@ def test_distillation_and_ewc_paths_compile():
     state, aux = step(state, batch)
     assert np.isfinite(float(aux["total_loss"]))
     assert float(aux["memory_loss"]) >= -1e-5  # ≈0: teacher == student at init
+
+
+def test_famo_strategy_runs():
+    sampler = make_sampler()
+    nodes, edges = metadata(False, False)
+    model = AnalysisGNN(
+        metadata=(nodes, edges), in_channels=25, hidden_channels=16,
+        out_channels=8, task_dict=TASKS, num_layers=1, dropout=0.0,
+    )
+    batch = sampler.sample_batch([0, 1])
+    attrs = batch.node_attrs[NOTE]
+    args = (
+        batch.x_dict(), batch.edge_index_dict(), batch.batch,
+        attrs["pitch_spelling"], attrs["key_signature"], batch.num_target_nodes,
+    )
+    params = model.init(jax.random.PRNGKey(0), *args)
+    opt = make_optimizer(1e-3)
+    state = create_train_state(
+        params, len(TASKS), opt, jax.random.PRNGKey(1), mt_strategy="famo"
+    )
+    cfg = StepConfig(
+        task_dict=TASKS, active_tasks=("cadence", "localkey"), mt_strategy="famo"
+    )
+    step = make_train_step(model, opt, cfg)
+    w0 = np.asarray(state.famo.w).copy()
+    for _ in range(3):
+        state, aux = step(state, sampler.sample_batch([0, 1]))
+    assert np.isfinite(float(aux["total_loss"]))
+    assert not np.allclose(np.asarray(state.famo.w), w0)  # logits moved
+
+
+def test_edge_loss_path():
+    sampler = make_sampler()
+    nodes, edges = metadata(False, False)
+    model = AnalysisGNN(
+        metadata=(nodes, edges), in_channels=25, hidden_channels=16,
+        out_channels=8, task_dict=TASKS, num_layers=1, dropout=0.0,
+        use_edge_decoder=True,
+    )
+    batch = sampler.sample_batch([0, 1])
+    # add the RNA labels the edge loss conditions on
+    from analysisgnn_tpu.train.step import EDGE_LOSS_RNA_KEYS
+    import dataclasses as dc
+
+    attrs = dict(batch.node_attrs[NOTE])
+    n = batch.capacity(NOTE)
+    rng = np.random.default_rng(0)
+    for k in EDGE_LOSS_RNA_KEYS:
+        if k not in attrs:
+            attrs[k] = jnp.asarray(rng.integers(0, 4, n))
+    batch = batch.replace(node_attrs={NOTE: attrs})
+    args = (
+        batch.x_dict(), batch.edge_index_dict(), batch.batch,
+        attrs["pitch_spelling"], attrs["key_signature"], batch.num_target_nodes,
+    )
+    params = model.init(jax.random.PRNGKey(0), *args, method=model.full_init)
+    opt = make_optimizer(1e-3)
+    state = create_train_state(params, len(TASKS), opt, jax.random.PRNGKey(1))
+    cfg = StepConfig(
+        task_dict=TASKS, active_tasks=("cadence",), use_edge_loss=True,
+    )
+    step = make_train_step(model, opt, cfg)
+    state, aux = step(state, batch)
+    assert "edge_loss" in aux and np.isfinite(float(aux["edge_loss"]))
