@@ -63,16 +63,19 @@ class SamplerConfig:
     num_neighbors: Sequence[int] = (5, 5)
     # capacity multipliers: padded note capacity = batch * subgraph * factor
     node_capacity_factor: float = 2.0
+    # padded slots per note per relation — sized ~1.5-2× typical polyphonic
+    # densities (onset ≈2, consecutive ≈1.2, during ≈2.4, rest ≈1.3 per note)
+    # so capacity utilization stays high; overflow edges are dropped.
     edge_capacity_per_note: Dict[str, int] = dataclasses.field(
         default_factory=lambda: {
-            "onset": 8,
-            "consecutive": 6,
-            "during": 6,
+            "onset": 4,
+            "consecutive": 2,
+            "during": 4,
             "rest": 2,
-            "consecutive_rev": 6,
-            "during_rev": 6,
+            "consecutive_rev": 2,
+            "during_rev": 4,
             "rest_rev": 2,
-            "connects": 4,
+            "connects": 2,
             "next": 1,
         }
     )

@@ -70,6 +70,9 @@ class TrainConfig:
     lambda_featl: float = 0.1
     lambda_ewc: float = 2.0
     use_ewc: bool = False
+    use_edge_loss: bool = False
+    lambda_edge: float = 0.1
+    use_smote: bool = False
     cl_training: bool = False
     main_tasks: Tuple[str, ...] = ("all", "cadence", "rna")
     epochs_per_task: Tuple[int, ...] = ()
@@ -99,6 +102,7 @@ class Trainer:
             logit_fusion=config.logit_fusion,
             use_rnn=config.use_rnn,
             encoder_type=config.model.lower(),
+            use_edge_decoder=config.use_edge_loss,
         )
         self.history: List[Dict] = []
         self.best_val = float("inf")
@@ -118,14 +122,20 @@ class Trainer:
             attrs["key_signature"],
             example_batch.num_target_nodes,
         )
-        params = self.model.init(jax.random.PRNGKey(self.cfg.seed), *args)
+        params = self.model.init(
+            jax.random.PRNGKey(self.cfg.seed), *args, method=self.model.full_init
+        )
         total_steps = sum(self._epochs_per_task()) * max(
             self.dm.steps_per_epoch(self.dm.main_tasks[0]), 1
         )
         schedule = warmup_cosine_schedule(self.cfg.lr, total_steps=max(total_steps, 10))
         self.optimizer = make_optimizer(schedule, self.cfg.weight_decay)
         return create_train_state(
-            params, len(self.task_dict), self.optimizer, jax.random.PRNGKey(self.cfg.seed + 1)
+            params,
+            len(self.task_dict),
+            self.optimizer,
+            jax.random.PRNGKey(self.cfg.seed + 1),
+            mt_strategy=self.cfg.mt_strategy,
         )
 
     def _epochs_per_task(self) -> Tuple[int, ...]:
@@ -146,6 +156,9 @@ class Trainer:
                 lambda_featl=self.cfg.lambda_featl,
                 lambda_ewc=self.cfg.lambda_ewc,
                 use_ewc=self.cfg.use_ewc,
+                use_edge_loss=self.cfg.use_edge_loss,
+                lambda_edge=self.cfg.lambda_edge,
+                use_smote=self.cfg.use_smote,
             )
             self._step_cache[key] = (
                 make_train_step(self.model, self.optimizer, sc),

@@ -61,6 +61,8 @@ class StepConfig:
     label_smoothing: float = 0.1
     use_edge_loss: bool = False
     lambda_edge: float = 0.1
+    use_smote: bool = False
+    smote_synthetic: int = 256
 
 # RNA label set defining edge-consistency targets (reference :988)
 EDGE_LOSS_RNA_KEYS = ("quality", "inversion", "degree1", "degree2", "localkey")
@@ -118,6 +120,31 @@ def compute_losses(
     logits = model.apply(
         params, x, deterministic=deterministic, method=model.classify, rngs=rngs
     )
+    # SMOTE embedding-space oversampling for single-task cadence training
+    # (reference common_step :1023-1029): synthetic minority-class points
+    # contribute extra CE terms, plus the distance penalty on feature_loss.
+    smote_extra = None
+    if (
+        cfg.use_smote
+        and cfg.active_tasks == ("cadence",)
+        and rngs is not None
+        and "cadence" in attrs
+    ):
+        from analysisgnn_tpu.train.smote import (
+            smote_feature_penalty,
+            smote_oversample,
+        )
+
+        n_cls = dict(cfg.task_dict)["cadence"]
+        y = jnp.where(attrs["cadence"] < n_cls, attrs["cadence"], 0)
+        x_syn, y_syn, w_syn = smote_oversample(
+            x, y, base_w, rngs["dropout"], n_cls, cfg.smote_synthetic
+        )
+        feature_loss = feature_loss + smote_feature_penalty(
+            x_syn, w_syn, x, y, y_syn, base_w
+        )
+        smote_extra = (x_syn, y_syn, w_syn)
+
     task_losses: Dict[str, jax.Array] = {}
     metrics: Dict[str, jax.Array] = {}
     for task in cfg.active_tasks:
@@ -129,6 +156,15 @@ def compute_losses(
         task_losses[task] = masked_cross_entropy(
             logits[task], labels, w, cfg.label_smoothing
         )
+        if task == "cadence" and smote_extra is not None:
+            x_syn, y_syn, w_syn = smote_extra
+            syn_logits = model.apply(
+                params, x_syn, deterministic=deterministic,
+                method=model.classify, rngs=rngs,
+            )["cadence"]
+            task_losses[task] = 0.5 * task_losses[task] + 0.5 * masked_cross_entropy(
+                syn_logits, y_syn, w_syn, cfg.label_smoothing
+            )
         metrics[f"{task}_acc"] = masked_accuracy(logits[task], labels, w)
     task_order = tuple(t for t, _ in cfg.task_dict)
     if cfg.mt_strategy == "famo" and famo_state is not None:

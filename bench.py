@@ -46,7 +46,7 @@ def main() -> None:
     # corpus: 4 synthetic polyphonic scores, ~2000 notes each
     samples = []
     for s in range(4):
-        na = synthetic_score(num_notes=2000, seed=s)
+        na = synthetic_score(num_notes=4000, seed=s)
         feats = select_features(na, "voice")
         g = build_score_graph(na, add_beats=True, add_measures=True)
         features = {
@@ -67,7 +67,7 @@ def main() -> None:
 
     # reference default scale: subgraph_size=500, neighbors [5,5]
     cfg = SamplerConfig(
-        subgraph_size=500, batch_size=8, num_neighbors=(5, 5), seed=0
+        subgraph_size=500, batch_size=16, num_neighbors=(5, 5), seed=0
     )
     sampler = SubgraphSampler(samples, cfg)
     batch = sampler.sample_batch()
