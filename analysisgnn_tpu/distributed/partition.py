@@ -180,7 +180,6 @@ def make_partitioned_forward(
             mesh=mesh,
             in_specs=(spec_x, spec_e, spec_e),
             out_specs=spec_x,
-            check_rep=False,
         )(x_parts, edge_src, edge_dst)
         return out
 
