@@ -168,12 +168,13 @@ class SubgraphSampler:
                 total = int(cap.sum())
                 if total == 0:
                     continue
-                # sample up to k neighbors per node (random offset windows)
-                reps = np.repeat(np.arange(len(nodes)), cap)
-                within = np.concatenate([
-                    self.rng.choice(d, size=c_, replace=False) if d > c_ else np.arange(c_)
-                    for d, c_ in zip(degs, cap) if c_ > 0
-                ]) if total else np.zeros(0, np.int64)
+                # sample up to k neighbors per node — vectorized sampling
+                # WITH replacement (duplicates are deduped downstream by the
+                # seen-mask + np.unique, preserving loader semantics)
+                deg_per_slot = np.repeat(degs, cap)
+                within = (
+                    self.rng.random(total) * deg_per_slot
+                ).astype(np.int64)
                 picked = dst_sorted[np.repeat(starts_, cap) + within]
                 fresh = picked[~seen[dst_t][picked]]
                 if len(fresh):

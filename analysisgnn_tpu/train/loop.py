@@ -82,6 +82,7 @@ class TrainConfig:
     seed: int = 0
     checkpoint_dir: str = "checkpoints"
     log_path: Optional[str] = None
+    use_wandb: bool = False
 
 
 class Trainer:
@@ -173,6 +174,20 @@ class Trainer:
             os.makedirs(os.path.dirname(self.cfg.log_path) or ".", exist_ok=True)
             with open(self.cfg.log_path, "a") as f:
                 f.write(json.dumps(record) + "\n")
+        if self.cfg.use_wandb:
+            try:  # optional dependency (reference logs via WandbLogger)
+                import wandb
+
+                if wandb.run is None:
+                    wandb.init(
+                        project="analysisgnn-tpu",
+                        name=f"{self.cfg.model}_{self.cfg.num_layers}x"
+                        f"{self.cfg.hidden_channels}-lr={self.cfg.lr}",
+                        config=dataclasses.asdict(self.cfg),
+                    )
+                wandb.log({k: v for k, v in record.items() if isinstance(v, (int, float))})
+            except Exception:
+                pass
 
     def save_checkpoint(self, state, tag: str) -> str:
         import orbax.checkpoint as ocp

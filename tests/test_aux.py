@@ -132,3 +132,23 @@ def test_explain_fidelity():
         logits_fn, ei, mask, labels, w, {"note": 4}
     )
     assert np.isfinite(float(fid_p["t"])) and np.isfinite(float(fid_m["t"]))
+
+
+def test_prefetch_iterator():
+    from analysisgnn_tpu.data.prefetch import prefetch, prefetch_calls
+
+    out = list(prefetch(iter(range(10)), buffer_size=3))
+    assert out == list(range(10))
+    counter = {"n": 0}
+
+    def make():
+        counter["n"] += 1
+        return counter["n"]
+
+    assert list(prefetch_calls(make, 5)) == [1, 2, 3, 4, 5]
+
+    def boom():
+        raise ValueError("x")
+
+    with pytest.raises(ValueError):
+        list(prefetch_calls(boom, 3))
