@@ -36,6 +36,7 @@ from analysisgnn_tpu.train.step import (
     StepConfig,
     make_eval_step,
     make_fisher_step,
+    make_test_step,
     make_train_step,
 )
 
@@ -311,3 +312,25 @@ class Trainer:
                             break
         self.save_checkpoint(state, "last")
         return state
+
+    def evaluate(self, state, split: str = "test") -> Dict[str, float]:
+        """Full-graph evaluation on the test split with composite RNA
+        metrics (reference Trainer.test path, test_step :1184-1282)."""
+        results: Dict[str, float] = {}
+        counts: Dict[str, int] = {}
+        for mt in self.dm.main_tasks:
+            active = tuple(self.dm.active_tasks(mt))
+            sc = StepConfig(
+                task_dict=tuple(self.task_dict.items()), active_tasks=active
+            )
+            tstep = make_test_step(self.model, sc)
+            batches = (
+                self.dm.test_batches(mt) if split == "test" else self.dm.val_batches(mt)
+            )
+            for batch in batches:
+                m = tstep(state, batch)
+                for k, v in m.items():
+                    key = f"{mt}/{k}"
+                    results[key] = results.get(key, 0.0) + float(v)
+                    counts[key] = counts.get(key, 0) + 1
+        return {k: v / counts[k] for k, v in results.items()}

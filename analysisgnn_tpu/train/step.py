@@ -313,6 +313,57 @@ def make_eval_step(model, cfg: StepConfig):
     return eval_step
 
 
+def make_test_step(model, cfg: StepConfig):
+    """Evaluation step with the reference's composite test metrics: per-task
+    accuracy plus onset-wise RNA accuracy (models/analysis.py:1226-1264) and
+    the NCT-masked variant (:1271-1282) when their task sets are active."""
+    from analysisgnn_tpu.train.metrics import (
+        NCT_RNA_KEYS,
+        RNA_KEYS,
+        nct_rna_accuracy,
+        onsetwise_rna_accuracy,
+    )
+
+    @jax.jit
+    def test_step(state: TrainState, batch: HeteroGraph):
+        attrs = batch.node_attrs[NOTE]
+        base_w, task_w = _task_weights(batch, cfg)
+        args = (
+            batch.x_dict(),
+            batch.edge_index_dict(),
+            batch.batch,
+            attrs["pitch_spelling"],
+            attrs["key_signature"],
+            batch.num_target_nodes,
+        )
+        logits = model.apply(state.params, *args, deterministic=True)
+        task_sizes = dict(cfg.task_dict)
+        out: Dict[str, jax.Array] = {}
+        labels_dict = {}
+        for task in cfg.active_tasks:
+            labels = attrs[task]
+            labels = jnp.where(labels < task_sizes[task], labels, 0)
+            labels_dict[task] = labels
+            out[f"{task}_acc"] = masked_accuracy(logits[task], labels, task_w[task])
+        if all(k in cfg.active_tasks for k in RNA_KEYS):
+            onset = batch.edges((NOTE, "onset", NOTE))
+            out["rna_onset_acc"] = onsetwise_rna_accuracy(
+                logits,
+                labels_dict,
+                onset,
+                attrs["onset_div"],
+                batch.batch[NOTE],
+                base_w,
+            )
+        if "tpc_in_label" in cfg.active_tasks and all(
+            k in cfg.active_tasks for k in NCT_RNA_KEYS
+        ):
+            out["rna_nct_acc"] = nct_rna_accuracy(logits, labels_dict, base_w)
+        return out
+
+    return test_step
+
+
 def make_fisher_step(model, cfg: StepConfig):
     """Gradient² accumulation step for EWC memory replay
     (reference memory_replay + compute_fisher, :1326-1368, :1440-1455)."""

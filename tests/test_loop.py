@@ -99,3 +99,17 @@ def test_checkpoint_roundtrip(tmp_path):
         restored.params,
     )
     assert all(jax.tree_util.tree_leaves(same))
+
+
+def test_trainer_evaluate(tmp_path):
+    dm = make_dm()
+    cfg = TrainConfig(
+        num_layers=1, hidden_channels=16, out_channels=8, dropout=0.0,
+        cl_training=True, main_tasks=("rna",), epochs_per_task=(1,),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    trainer = Trainer(cfg, dm)
+    state = trainer.fit(max_steps_per_epoch=1)
+    metrics = trainer.evaluate(state, split="test")
+    assert any(k.endswith("rna_onset_acc") for k in metrics), metrics.keys()
+    assert all(np.isfinite(v) for v in metrics.values())
