@@ -46,7 +46,7 @@ def main() -> None:
     # corpus: 4 synthetic polyphonic scores, ~2000 notes each
     samples = []
     for s in range(4):
-        na = synthetic_score(num_notes=4000, seed=s)
+        na = synthetic_score(num_notes=2000, seed=s)
         feats = select_features(na, "voice")
         g = build_score_graph(na, add_beats=True, add_measures=True)
         features = {
@@ -67,7 +67,7 @@ def main() -> None:
 
     # reference default scale: subgraph_size=500, neighbors [5,5]
     cfg = SamplerConfig(
-        subgraph_size=500, batch_size=16, num_neighbors=(5, 5), seed=0
+        subgraph_size=500, batch_size=8, num_neighbors=(5, 5), seed=0
     )
     sampler = SubgraphSampler(samples, cfg)
     batch = sampler.sample_batch()
@@ -110,35 +110,23 @@ def main() -> None:
         sum(np.asarray(v) for v in batch.num_edges.values())
     )
 
-    # Stage S pre-sampled batches on device and scan the train step over them
-    # inside ONE jit dispatch — measures steady-state device throughput, not
-    # per-dispatch host/tunnel latency.
-    S = 8
-    batches = [sampler.sample_batch() for _ in range(S)]
-    stacked = jax.tree_util.tree_map(
-        lambda *xs: jax.numpy.stack(xs, axis=0), *batches
-    )
-
-    @jax.jit
-    def run_epoch(state, stacked):
-        def body(s, b):
-            s, aux = train_step(s, b)
-            return s, aux["total_loss"]
-
-        return jax.lax.scan(body, state, stacked)
+    # Pre-sample batches on the host, then dispatch steps back-to-back —
+    # async dispatch pipelines host latency behind device compute, exactly
+    # how the training loop runs; the final scalar fetch forces completion.
+    S = 24
+    batches = [sampler.sample_batch() for _ in range(4)]
 
     # warmup/compile
-    state2, losses = run_epoch(state, stacked)
-    jax.block_until_ready(losses)
+    state, aux = train_step(state, batches[0])
+    _ = float(aux["total_loss"])
 
-    iters = 3  # 3 dispatches × S steps
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, losses = run_epoch(state, stacked)
-    jax.block_until_ready(losses)
+    for i in range(S):
+        state, aux = train_step(state, batches[i % len(batches)])
+    _ = float(aux["total_loss"])  # forces the whole chain
     dt = time.perf_counter() - t0
 
-    edges_per_s = edges_per_batch * S * iters / dt
+    edges_per_s = edges_per_batch * S / dt
     print(
         json.dumps(
             {
