@@ -34,7 +34,7 @@ def masked_cross_entropy(
     """
     num_classes = logits.shape[-1]
     labels = jnp.clip(labels, 0, num_classes - 1)
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     smooth = -logp.mean(axis=-1)
     per_elem = (1.0 - label_smoothing) * nll + label_smoothing * smooth

@@ -63,6 +63,10 @@ class StepConfig:
     lambda_edge: float = 0.1
     use_smote: bool = False
     smote_synthetic: int = 256
+    # "float32" | "bfloat16": compute dtype for fwd/bwd; the optimizer and
+    # loss accumulation stay fp32 (standard TPU mixed precision — params are
+    # cast at apply time, flax modules infer compute dtype from operands)
+    compute_dtype: str = "float32"
 
 # RNA label set defining edge-consistency targets (reference :988)
 EDGE_LOSS_RNA_KEYS = ("quality", "inversion", "degree1", "degree2", "localkey")
@@ -101,6 +105,16 @@ def compute_losses(
     task_sizes = dict(cfg.task_dict)
     attrs = batch.node_attrs[NOTE]
     base_w, task_w = _task_weights(batch, cfg)
+    if cfg.compute_dtype == "bfloat16":
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32
+            else a,
+            t,
+        )
+        params = cast(params)
+        teacher_params = cast(teacher_params)
+        batch = dataclasses.replace(batch, node_features=cast(batch.node_features))
     args = (
         batch.x_dict(),
         batch.edge_index_dict(),
@@ -114,7 +128,8 @@ def compute_losses(
     )
     # feature-norm regularizer over valid target rows (reference :984)
     fw = base_w.astype(jnp.float32)
-    feature_loss = (jnp.sum(x**2, axis=-1) * fw).sum() / jnp.maximum(
+    x32 = x.astype(jnp.float32)
+    feature_loss = (jnp.sum(x32**2, axis=-1) * fw).sum() / jnp.maximum(
         fw.sum() * x.shape[-1], 1.0
     )
     logits = model.apply(

@@ -197,3 +197,55 @@ def test_edge_loss_path():
     step = make_train_step(model, opt, cfg)
     state, aux = step(state, batch)
     assert "edge_loss" in aux and np.isfinite(float(aux["edge_loss"]))
+
+
+def test_bf16_compute_dtype_runs():
+    sampler = make_sampler()
+    nodes, edges = metadata(False, False)
+    model = AnalysisGNN(
+        metadata=(nodes, edges), in_channels=25, hidden_channels=16,
+        out_channels=8, task_dict=TASKS, num_layers=1, dropout=0.0,
+    )
+    batch = sampler.sample_batch([0, 1])
+    attrs = batch.node_attrs[NOTE]
+    args = (
+        batch.x_dict(), batch.edge_index_dict(), batch.batch,
+        attrs["pitch_spelling"], attrs["key_signature"], batch.num_target_nodes,
+    )
+    params = model.init(jax.random.PRNGKey(0), *args)
+    opt = make_optimizer(1e-3)
+    state = create_train_state(params, len(TASKS), opt, jax.random.PRNGKey(1))
+    cfg = StepConfig(
+        task_dict=TASKS, active_tasks=("cadence",), compute_dtype="bfloat16",
+    )
+    step = make_train_step(model, opt, cfg)
+    state, aux = step(state, batch)
+    assert np.isfinite(float(aux["total_loss"]))
+    # master params stay fp32
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.dtype == jnp.float32
+
+
+def test_smote_path_runs():
+    sampler = make_sampler()
+    nodes, edges = metadata(False, False)
+    model = AnalysisGNN(
+        metadata=(nodes, edges), in_channels=25, hidden_channels=16,
+        out_channels=8, task_dict=TASKS, num_layers=1, dropout=0.0,
+    )
+    batch = sampler.sample_batch([0, 1])
+    attrs = batch.node_attrs[NOTE]
+    args = (
+        batch.x_dict(), batch.edge_index_dict(), batch.batch,
+        attrs["pitch_spelling"], attrs["key_signature"], batch.num_target_nodes,
+    )
+    params = model.init(jax.random.PRNGKey(0), *args)
+    opt = make_optimizer(1e-3)
+    state = create_train_state(params, len(TASKS), opt, jax.random.PRNGKey(1))
+    cfg = StepConfig(
+        task_dict=TASKS, active_tasks=("cadence",), use_smote=True,
+        smote_synthetic=32,
+    )
+    step = make_train_step(model, opt, cfg)
+    state, aux = step(state, batch)
+    assert np.isfinite(float(aux["total_loss"]))
