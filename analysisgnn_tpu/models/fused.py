@@ -71,6 +71,48 @@ class FusedHeteroSage(nn.Module):
         return out  # [T, N, G]; caller reduces across relations
 
 
+def unify_node_types(
+    x_dict: Dict[str, jax.Array],
+    edge_index_dict: Dict[Tuple[str, str, str], jax.Array],
+    relations: Sequence[Tuple[str, str, str]],
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, Dict[str, Tuple[int, int]]]:
+    """Concatenate all node types into one array and remap every relation's
+    edges into the union id space (padding ids map past the union end).
+
+    Requires equal feature widths across types (true after the per-type
+    projection MLPs).  Returns (x_all, edge_src, edge_dst, edge_rel,
+    type_slices) where ``type_slices[t] = (offset, size)``.
+    """
+    order = sorted(x_dict.keys())
+    offsets: Dict[str, int] = {}
+    off = 0
+    for t in order:
+        offsets[t] = off
+        off += x_dict[t].shape[0]
+    total = off
+    x_all = jnp.concatenate([x_dict[t] for t in order], axis=0)
+    srcs, dsts, rels = [], [], []
+    for i, et in enumerate(relations):
+        src_t, _, dst_t = et
+        ei = edge_index_dict[et]
+        n_src = x_dict[src_t].shape[0]
+        n_dst = x_dict[dst_t].shape[0]
+        # padding entries (>= per-type count) must stay out-of-range globally
+        src = jnp.where(ei[0] < n_src, ei[0] + offsets[src_t], total)
+        dst = jnp.where(ei[1] < n_dst, ei[1] + offsets[dst_t], total)
+        srcs.append(src)
+        dsts.append(dst)
+        rels.append(jnp.full(ei.shape[1], i, jnp.int32))
+    slices = {t: (offsets[t], x_dict[t].shape[0]) for t in order}
+    return (
+        x_all,
+        jnp.concatenate(srcs),
+        jnp.concatenate(dsts),
+        jnp.concatenate(rels),
+        slices,
+    )
+
+
 def stack_relations(
     edge_index_dict: Dict[Tuple[str, str, str], jax.Array],
     relations: Sequence[Tuple[str, str, str]],

@@ -51,6 +51,35 @@ class HeteroConv(nn.Module):
             if et in edge_index_dict and et[0] in x_dict and et[2] in x_dict
         ]
         handled = set()
+        widths = {v.shape[-1] for v in x_dict.values()}
+        if (
+            self.fused
+            and self.conv_cls is SageConv
+            and len(widths) == 1
+            and len(present) >= 2
+        ):
+            # full homogenization: ALL relations in one batched conv over the
+            # concatenated node set (models/fused.py) — one einsum + one
+            # scatter for the entire hetero layer.
+            from analysisgnn_tpu.models.fused import unify_node_types
+
+            x_all, src, dst, rel, slices = unify_node_types(
+                x_dict, edge_index_dict, present
+            )
+            out = FusedHeteroSage(
+                self.out_features, len(present), name="unified"
+            )(x_all, src, dst, rel)  # [T, N_all, G]
+            result: Dict[str, jax.Array] = {}
+            for t in x_dict:
+                idxs = [i for i, et in enumerate(present) if et[0] == t]
+                off, size = slices[t]
+                if idxs:
+                    result[t] = out[jnp.asarray(idxs), off : off + size].mean(0)
+                else:
+                    result[t] = nn.Dense(self.out_features, name=f"self_{t}")(
+                        x_dict[t]
+                    )
+            return result
         if self.fused and self.conv_cls is SageConv:
             # group same-type (t, rel, t) relations per node type
             by_type: Dict[str, List[EdgeType]] = {}
