@@ -37,6 +37,10 @@ class HeteroConv(nn.Module):
     edge_types: Tuple[EdgeType, ...]
     conv_cls: Callable = SageConv
     fused: bool = True
+    # Fuse across node types too (ONE conv for the whole layer).  Fewer
+    # kernels but computes every relation over every node — measured slower
+    # on current hardware than per-type fusion, so off by default.
+    unify_all: bool = False
 
     @nn.compact
     def __call__(
@@ -54,6 +58,7 @@ class HeteroConv(nn.Module):
         widths = {v.shape[-1] for v in x_dict.values()}
         if (
             self.fused
+            and self.unify_all
             and self.conv_cls is SageConv
             and len(widths) == 1
             and len(present) >= 2
