@@ -160,16 +160,177 @@ def chord_context_features(note_array: np.ndarray) -> Tuple[np.ndarray, List[str
     return out, names
 
 
-def cadence_feature_set(note_array: np.ndarray) -> np.ndarray:
-    """"cadence" input features = voice block + chord-context block.
+_MAJ_INT_VECS = (
+    (0, 0, 1, 1, 1, 0), (0, 0, 1, 0, 0, 0), (0, 0, 0, 1, 0, 0), (0, 0, 0, 0, 1, 0),
+)
+_MAJ_PCS = ([0, 4, 7], [0, 5, 9], [0, 3, 8], [0, 4], [0, 8], [0, 7], [0, 5])
+_V7_VECS = ((0, 1, 2, 1, 1, 1), (0, 1, 0, 1, 0, 1), (0, 1, 0, 0, 0, 0))
 
-    A vectorized stand-in for the reference's hand-crafted cadence feature
-    set (descriptors/utils/cadence_features.py:6-119 stacks ~70 descriptors on
-    top of the voice block; the chord-context block here covers the harmonic
-    core of that set — full per-descriptor parity is tracked as future work).
+CADENCE_DESCRIPTOR_NAMES = [
+    "perfect_triad", "perfect_major_triad", "is_sus4", "in_perfect_triad_or_sus4",
+    "highest_is_3", "highest_is_1", "bass_compatible_with_I",
+    "bass_compatible_with_I_scale", "one_comes_from_7", "one_comes_from_1",
+    "one_comes_from_2", "three_comes_from_4", "five_comes_from_5",
+    "strong_beat", "sustained_note", "is_note_onset", "rest_highest",
+    "rest_lowest", "rest_middle", "voice_ends", "is_downbeat", "v7", "v7-3",
+    "has_7", "has_9", "bass_voice", "bass_moves_chromatic", "bass_moves_octave",
+    "bass_compatible_v-i", "bass_compatible_i-v", "bass_moves_2M",
+]
+
+
+def cadence_descriptors(note_array: np.ndarray) -> np.ndarray:
+    """The 31 hand-crafted cadence descriptors (reference ``get_cad_features``,
+    descriptors/utils/cadence_features.py:6-119), vectorized per onset group
+    and per voice.
+
+    Documented divergences from the reference source: the bass/high-voice
+    selection implements the *intended* mean-pitch comparison (the reference's
+    ``note_array["voice" == ...]`` indexes element 0 — a silent bug), and the
+    scale choice reduces the probe pitch mod 12 (the reference compares an
+    unreduced pitch against pitch classes, which never matches).
     """
+    n = len(note_array)
+    onset = np.asarray(note_array["onset_div"], np.int64)
+    dur = np.asarray(note_array["duration_div"], np.int64)
+    onset_beat = np.asarray(note_array["onset_beat"], np.float64)
+    ts_beats = np.asarray(note_array["ts_beats"], np.float64)
+    pitch = np.asarray(note_array["pitch"], np.int64)
+    voice = np.asarray(note_array["voice"], np.int64)
+    is_onset = (
+        np.asarray(note_array["is_note_onset"], bool)
+        if "is_note_onset" in note_array.dtype.names
+        else np.ones(n, bool)
+    )
+    is_downbeat = np.asarray(note_array["is_downbeat"], bool)
+    ends = onset + dur
+
+    # voice extremes by mean pitch (intended semantics)
+    vmin, vmax = voice.min(), voice.max()
+    mean_min = pitch[voice == vmin].mean() if (voice == vmin).any() else 0
+    mean_max = pitch[voice == vmax].mean() if (voice == vmax).any() else 0
+    bass_voice = vmax if mean_max < mean_min else vmin
+    high_voice = vmin if mean_min > mean_max else vmax
+
+    out = np.zeros((n, len(CADENCE_DESCRIPTOR_NAMES)), np.float32)
+    col = {name: i for i, name in enumerate(CADENCE_DESCRIPTOR_NAMES)}
+
+    # ---- onset-group chord context --------------------------------------
+    uniq, inverse = np.unique(onset, return_inverse=True)
+    # pc presence cumulative table over onset_beat-sorted notes for the
+    # prev-4/8-beat windows (notes are onset-sorted already)
+    pcs_all = pitch % 12
+    cum = np.zeros((12, n + 1), np.int32)
+    for pc in range(12):
+        cum[pc, 1:] = np.cumsum(pcs_all == pc)
+
+    def window_presence(t_lo: float, t_hi: float) -> np.ndarray:
+        lo = np.searchsorted(onset_beat, t_lo, side="right")
+        hi = np.searchsorted(onset_beat, t_hi, side="left")
+        return cum[:, hi] - cum[:, lo] > 0  # [12]
+
+    group_cache = {}
+    for gi, u in enumerate(uniq):
+        members = np.flatnonzero(inverse == gi)
+        sounding = np.flatnonzero((onset < u) & (ends > u))
+        chord_pitch = np.concatenate([pitch[members], pitch[sounding]])
+        iv = tuple(_interval_vector(chord_pitch).tolist())
+        pcs = np.unique(chord_pitch % 12)
+        pc_rec = sorted((pcs - pcs.min()).tolist()) if len(pcs) else []
+        span = (chord_pitch.max() - chord_pitch.min()) % 12
+        group_cache[gi] = (members, chord_pitch, iv, pc_rec, span, len(sounding) > 0)
+
+    # per-voice previous-onset pitches
+    prev_pitch_lists = [None] * n  # pitches of same voice at its previous onset
+    has_next_voice = np.zeros(n, bool)
+    next_voice_min_onset = np.full(n, np.iinfo(np.int64).max)
+    for v in np.unique(voice):
+        vidx = np.flatnonzero(voice == v)
+        v_on = onset[vidx]
+        v_uniq, v_inv = np.unique(v_on, return_inverse=True)
+        groups = [vidx[v_inv == k] for k in range(len(v_uniq))]
+        for k, g in enumerate(groups):
+            prev = pitch[groups[k - 1]] if k > 0 else None
+            for i in g:
+                prev_pitch_lists[i] = prev
+            if k + 1 < len(v_uniq):
+                for i in g:
+                    has_next_voice[i] = True
+                    next_voice_min_onset[i] = v_uniq[k + 1]
+
+    for i in range(n):
+        gi = inverse[i]
+        members, chord_pitch, iv, pc_rec, span, sustained = group_cache[gi]
+        p = pitch[i]
+        c_min = chord_pitch.min()
+        perfect_triad = iv in _MAJ_INT_VECS
+        out[i, col["perfect_triad"]] = perfect_triad
+        out[i, col["perfect_major_triad"]] = perfect_triad and pc_rec in [list(x) for x in _MAJ_PCS]
+        is_sus4 = iv == (0, 1, 0, 0, 2, 0) or pc_rec == [0, 5]
+        out[i, col["is_sus4"]] = is_sus4
+        out[i, col["in_perfect_triad_or_sus4"]] = perfect_triad or is_sus4
+        out[i, col["highest_is_3"]] = span in (3, 4)
+        out[i, col["highest_is_1"]] = span == 0 and chord_pitch.max() != chord_pitch.min()
+
+        prev4 = window_presence(onset_beat[i] - 4, onset_beat[i])
+        prev8 = window_presence(onset_beat[i] - 8, onset_beat[i])
+        out[i, col["bass_compatible_with_I"]] = (
+            prev4[(p + 5) % 12] and prev4[(p + 11) % 12]
+        )
+        minor = (p + 3) % 12 in (chord_pitch % 12)
+        scale = (2, 3, 5, 7, 8, 11) if minor else (2, 4, 5, 7, 9, 11)
+        out[i, col["bass_compatible_with_I_scale"]] = all(
+            prev8[(p + s) % 12] for s in scale
+        )
+        prev_vp = prev_pitch_lists[i]
+        if prev_vp is not None and len(chord_pitch) > 1:
+            rel_prev = (prev_vp - c_min) % 12
+            rel_self = (p - c_min) % 12
+            out[i, col["one_comes_from_7"]] = 11 in rel_prev and rel_self == 0
+            out[i, col["one_comes_from_1"]] = 0 in rel_prev and rel_self == 0
+            out[i, col["one_comes_from_2"]] = 2 in rel_prev and rel_self == 0
+        if prev_vp is not None:
+            rel_prev = (prev_vp - c_min) % 12
+            rel_self = (p - c_min) % 12
+            out[i, col["three_comes_from_4"]] = 5 in rel_prev and rel_self in (3, 4)
+            out[i, col["five_comes_from_5"]] = 7 in rel_prev and rel_self == 7
+
+        out[i, col["strong_beat"]] = (
+            ts_beats[i] == 4 and onset_beat[i] % 2 == 0
+        ) or (onset_beat[i] % ts_beats[i] == 0)
+        out[i, col["sustained_note"]] = sustained
+        out[i, col["is_note_onset"]] = is_onset[i]
+        if has_next_voice[i]:
+            gap = next_voice_min_onset[i] > onset[i] + dur[i]
+            out[i, col["rest_highest"]] = voice[i] == high_voice and gap
+            out[i, col["rest_lowest"]] = voice[i] == bass_voice and gap
+            out[i, col["rest_middle"]] = (
+                voice[i] != high_voice and voice[i] != bass_voice and gap
+            )
+        else:
+            out[i, col["voice_ends"]] = True
+        out[i, col["is_downbeat"]] = is_downbeat[i]
+        out[i, col["v7"]] = iv in _V7_VECS
+        out[i, col["v7-3"]] = iv in _V7_VECS and 4 in pc_rec
+        out[i, col["has_7"]] = 10 in pc_rec
+        out[i, col["has_9"]] = 1 in pc_rec or 2 in pc_rec
+        out[i, col["bass_voice"]] = voice[i] == bass_voice
+        if prev_vp is not None:
+            diff = prev_vp - p
+            is_bass = voice[i] == bass_voice
+            out[i, col["bass_moves_chromatic"]] = is_bass and (1 in diff or -1 in diff)
+            out[i, col["bass_moves_octave"]] = is_bass and (12 in diff or -12 in diff)
+            out[i, col["bass_compatible_v-i"]] = is_bass and (7 in diff or -5 in diff)
+            out[i, col["bass_compatible_i-v"]] = is_bass and (-7 in diff or 5 in diff)
+            out[i, col["bass_moves_2M"]] = is_bass and (2 in diff or -2 in diff)
+    return out
+
+
+def cadence_feature_set(note_array: np.ndarray) -> np.ndarray:
+    """"cadence" input features = voice block (25) + the 31 hand-crafted
+    cadence descriptors (reference descriptors/general.py:110-125 stacks
+    ``get_voice_separation_features`` with ``get_cad_features``)."""
     v = voice_features(note_array)
-    c, _ = chord_context_features(note_array)
+    c = cadence_descriptors(note_array)
     return np.hstack([v, c]).astype(np.float32)
 
 

@@ -113,5 +113,39 @@ def test_select_features_dispatch():
     assert select_features(na, "voice").shape[1] == 25
     assert select_features(na, "simple").shape[1] == 25
     cad = select_features(na, "cadence")
-    assert cad.shape[1] == 25 + 6 + 13 + 18 + 10
+    assert cad.shape[1] == 25 + 31
     assert np.isfinite(cad).all()
+
+
+def test_cadence_descriptors_semantics():
+    import numpy as np
+    from analysisgnn_tpu.data.features import (
+        CADENCE_DESCRIPTOR_NAMES,
+        cadence_descriptors,
+    )
+
+    # two-voice cadence: V (G2,B4,D4,F4) → I (C3,C5,E4,G4)
+    na = make_note_array(
+        onset_div=[0, 0, 0, 0, 4, 4, 4, 4],
+        duration_div=[4] * 8,
+        pitch=[43, 71, 62, 65, 48, 72, 64, 67],
+        voice=[2, 1, 1, 1, 2, 1, 1, 1],
+    )
+    f = cadence_descriptors(na)
+    assert f.shape == (8, 31)
+    col = {n: i for i, n in enumerate(CADENCE_DESCRIPTOR_NAMES)}
+    # the I chord is a perfect major triad
+    i_chord_rows = np.flatnonzero(na["onset_div"] == 4)
+    assert f[i_chord_rows, col["perfect_triad"]].all()
+    assert f[i_chord_rows, col["perfect_major_triad"]].all()
+    # the V7-less dominant still spots has_7=False
+    assert not f[:, col["has_7"]].any()
+    # bass voice flags: voice 2 has lower mean pitch
+    bass_rows = np.flatnonzero(na["voice"] == 2)
+    assert f[bass_rows, col["bass_voice"]].all()
+    # bass motion G2→C3 is a V-I fifth: +5 semitones = compatible_v-i? diff = 43-48 = -5
+    c3 = np.flatnonzero((na["pitch"] == 48))
+    assert f[c3, col["bass_compatible_v-i"]].all()
+    # last-onset notes have no next voice notes → voice_ends
+    assert f[i_chord_rows, col["voice_ends"]].all()
+    assert np.isfinite(f).all()
