@@ -138,3 +138,51 @@ def test_romnum_and_csr_metrics():
         logits, labels, jnp.asarray([3.0, 1.0]), w, keys=("quality", "inversion")
     )
     np.testing.assert_allclose(float(csr), 0.75)
+
+
+def test_pretrain_step():
+    import optax
+
+    from analysisgnn_tpu.train.pretrain import make_pretrain_step, pretrain_losses
+
+    graph = build_inputs(num_notes=30, with_metrical=False)
+    nodes, edges = metadata(False, False)
+    model = PreEncoder(hidden=16, num_layers=1, edge_types=edges)
+    # add voice/staff attrs the pretrain losses need
+    attrs = dict(graph.node_attrs[NOTE])
+    n = graph.capacity(NOTE)
+    rng = np.random.default_rng(0)
+    attrs["voice"] = jnp.asarray(rng.integers(1, 3, n))
+    attrs["staff"] = jnp.asarray(rng.integers(1, 3, n))
+    graph = graph.replace(node_attrs={NOTE: attrs})
+    cand = graph.edges((NOTE, "consecutive", NOTE))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        graph.x_dict(), graph.edge_index_dict(), graph.batch, cand, cand,
+    )
+    opt = __import__("optax").adamw(1e-3)
+    step = make_pretrain_step(model, opt)
+    opt_state = opt.init(params)
+    p2, opt_state, losses = step(params, opt_state, graph, jax.random.PRNGKey(1))
+    for k in ("staff", "voice", "fifths", "spelling", "total"):
+        assert np.isfinite(float(losses[k])), k
+
+
+def test_analysis_gnn_with_rnn():
+    from analysisgnn_tpu.models.analysis import AnalysisGNN
+
+    graph = build_inputs(num_notes=30, with_metrical=False)
+    nodes, edges = metadata(False, False)
+    model = AnalysisGNN(
+        metadata=(nodes, edges), in_channels=25, hidden_channels=16,
+        out_channels=8, task_dict=TASKS, num_layers=1, dropout=0.0,
+        use_rnn=True,
+    )
+    attrs = graph.node_attrs[NOTE]
+    args = (
+        graph.x_dict(), graph.edge_index_dict(), graph.batch,
+        attrs["pitch_spelling"], attrs["key_signature"], graph.num_target_nodes,
+    )
+    params = model.init(jax.random.PRNGKey(0), *args)
+    out = model.apply(params, *args)
+    assert all(np.isfinite(np.asarray(v)).all() for v in out.values())
