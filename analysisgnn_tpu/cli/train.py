@@ -204,10 +204,19 @@ def main(argv=None) -> None:
             },
             f,
         )
+    state = None
     if config.get("do_train"):
-        trainer.fit(max_steps_per_epoch=config.get("max_steps_per_epoch"))
+        state = trainer.fit(max_steps_per_epoch=config.get("max_steps_per_epoch"))
     if config.get("do_eval"):
-        print(json.dumps(trainer.history[-3:], indent=1))
+        if state is None:
+            # evaluate a stored checkpoint (reference --do_eval path,
+            # train_analysisgnn.py:262-287)
+            example = next(iter(dm.combined_train_batches(1)))
+            state = trainer._init_state(example[dm.main_tasks[0]])
+            tag = config.get("checkpoint_path") or "best"
+            state = trainer.restore_checkpoint(state, tag)
+        metrics = trainer.evaluate(state, split="test")
+        print(json.dumps(metrics, indent=1))
 
 
 if __name__ == "__main__":
