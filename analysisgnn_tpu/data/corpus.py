@@ -270,18 +270,30 @@ class DLCTsvCorpus(GraphCorpus):
         self,
         cfg: CorpusConfig,
         source_dir: str,
-        test_names: Sequence[str] = (),
+        test_names: Optional[Sequence[str]] = None,
         dlc: bool = True,
     ):
         super().__init__(cfg)
         self.source_dir = source_dir
-        self.test_names = set(test_names)
+        if test_names is None and dlc:
+            # canonical DLC held-out split (reference dlc.py:89-340)
+            from analysisgnn_tpu.data.dlc_meta import dlc_test_pieces
+
+            test_names = dlc_test_pieces()
+        self.test_names = set(test_names or ())
         self.dlc = dlc
 
     def source_files(self) -> List[str]:
+        skip = set()
+        if self.dlc:
+            from analysisgnn_tpu.data.dlc_meta import dlc_problem_pieces
+
+            skip = set(dlc_problem_pieces())
         out = []
         for root, _, files in os.walk(self.source_dir):
-            out += [os.path.join(root, f) for f in files if f.endswith(".tsv")]
+            for f in files:
+                if f.endswith(".tsv") and os.path.splitext(f)[0] not in skip:
+                    out.append(os.path.join(root, f))
         return sorted(out)
 
     def process_file(self, path: str) -> List[ScoreSample]:

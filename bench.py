@@ -23,7 +23,19 @@ SPEED_OF_LIGHT_EDGES_PER_S = 1e9
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compilation cache: repeat runs skip the (minutes-long)
+    # remote compile of the train step
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
     from analysisgnn_tpu.core.graph import NOTE, metadata
     from analysisgnn_tpu.data.features import select_features
