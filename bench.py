@@ -15,9 +15,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _phase(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 SPEED_OF_LIGHT_EDGES_PER_S = 1e9
 
@@ -81,6 +88,7 @@ def main() -> None:
     cfg = SamplerConfig(
         subgraph_size=500, batch_size=8, num_neighbors=(5, 5), seed=0
     )
+    _phase("corpus built")
     sampler = SubgraphSampler(samples, cfg)
     batch = sampler.sample_batch()
 
@@ -105,7 +113,9 @@ def main() -> None:
         attrs["key_signature"],
         batch.num_target_nodes,
     )
+    _phase("sampling done; init starting")
     params = model.init(jax.random.PRNGKey(0), *args)
+    _phase("init done")
     opt = make_optimizer(warmup_cosine_schedule(5e-3, total_steps=1000))
     state = create_train_state(params, len(tasks), opt, jax.random.PRNGKey(1))
     step_cfg = StepConfig(
@@ -133,9 +143,10 @@ def main() -> None:
     ]
     jax.block_until_ready(batches)
 
-    # warmup/compile
+    _phase("batches staged; warmup starting")
     state, aux = train_step(state, batches[0])
     _ = float(aux["total_loss"])
+    _phase("warmup done")
 
     t0 = time.perf_counter()
     for i in range(S):
@@ -143,6 +154,7 @@ def main() -> None:
     _ = float(aux["total_loss"])  # forces the whole chain
     dt = time.perf_counter() - t0
 
+    _phase(f"timed loop done dt={dt:.2f}s")
     edges_per_s = edges_per_batch * S / dt
     print(
         json.dumps(

@@ -113,3 +113,15 @@ def test_trainer_evaluate(tmp_path):
     metrics = trainer.evaluate(state, split="test")
     assert any(k.endswith("rna_onset_acc") for k in metrics), metrics.keys()
     assert all(np.isfinite(v) for v in metrics.values())
+
+
+def test_combined_mode_training(tmp_path):
+    dm = make_dm()
+    cfg = TrainConfig(
+        num_layers=1, hidden_channels=16, out_channels=8, dropout=0.0,
+        cl_training=False, main_tasks=("cadence", "rna"), num_epochs=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    trainer = Trainer(cfg, dm)
+    state = trainer.fit(max_steps_per_epoch=2)
+    assert trainer.history and np.isfinite(trainer.history[0]["train_loss"])
