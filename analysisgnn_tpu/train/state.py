@@ -46,14 +46,18 @@ def create_train_state(
     opt_state = optimizer.init((params, mt))
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
     famo = famo_init(num_tasks)[0] if mt_strategy == "famo" else None
+    # teacher/means start equal to params but as DISTINCT buffers — the
+    # train step donates its input state, and duplicate buffers in one
+    # donated pytree are rejected by the runtime
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
     return TrainState(
         step=jnp.asarray(0, jnp.int32),
         params=params,
         mt_params=mt,
         opt_state=opt_state,
-        teacher_params=params,
+        teacher_params=copy(params),
         fisher=zeros,
-        means=params,
+        means=copy(params),
         rng=rng,
         famo=famo,
     )
@@ -74,14 +78,16 @@ def make_optimizer(
 def update_teacher(state: TrainState) -> TrainState:
     """Freeze the current params as the distillation teacher
     (reference ``update_memory_model``, :1370-1378)."""
-    return dataclasses.replace(state, teacher_params=state.params)
+    teacher = jax.tree_util.tree_map(jnp.copy, state.params)
+    return dataclasses.replace(state, teacher_params=teacher)
 
 
 def snapshot_ewc_anchor(state: TrainState) -> TrainState:
     """Store current params as EWC means and reset fisher
     (reference ``get_optimal_params`` + ``_init_fisher``, :1457-1476)."""
     zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-    return dataclasses.replace(state, means=state.params, fisher=zeros)
+    means = jax.tree_util.tree_map(jnp.copy, state.params)
+    return dataclasses.replace(state, means=means, fisher=zeros)
 
 
 def accumulate_fisher(state: TrainState, grads: Any, scale: float) -> TrainState:

@@ -274,7 +274,9 @@ def make_train_step(model, optimizer: optax.GradientTransformation, cfg: StepCon
     task_order = tuple(t for t, _ in cfg.task_dict)
     famo_opt = famo_init(len(task_order))[1] if cfg.mt_strategy == "famo" else None
 
-    @jax.jit
+    # donate the state: params/opt-state buffers are updated in place instead
+    # of being copied every step (~6× params worth of HBM traffic saved)
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: HeteroGraph):
         rng, new_rng = jax.random.split(state.rng)
         grads, aux = jax.grad(loss_fn, has_aux=True)(
