@@ -5,9 +5,11 @@ of the flagship HybridGNN multi-task configuration over sampled score
 subgraphs, reported as **edges per second per chip** — the BASELINE.json
 north-star metric for the hetero SpMM path.
 
-``vs_baseline`` is the fraction of a nominal 1 GEdge/s/chip speed-of-light
-anchor (the reference repo publishes no numbers — BASELINE.md; the anchor
-makes round-over-round progress comparable on the same hardware).
+``vs_baseline`` is the speedup over the measured reference-equivalent torch
+implementation of the SAME workload on this host's CPU
+(scripts/bench_torch_reference.py → bench_baseline.json; the reference repo
+publishes no numbers of its own — BASELINE.md).  Falls back to a nominal
+1 GEdge/s speed-of-light anchor when the baseline file is absent.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -156,13 +158,21 @@ def main() -> None:
 
     _phase(f"timed loop done dt={dt:.2f}s")
     edges_per_s = edges_per_batch * S / dt
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+    )
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)["edges_per_s"]
+    else:
+        baseline = SPEED_OF_LIGHT_EDGES_PER_S
     print(
         json.dumps(
             {
                 "metric": "hetero_train_edges_per_s_per_chip",
                 "value": round(edges_per_s, 1),
                 "unit": "edges/s",
-                "vs_baseline": round(edges_per_s / SPEED_OF_LIGHT_EDGES_PER_S, 4),
+                "vs_baseline": round(edges_per_s / baseline, 4),
             }
         )
     )

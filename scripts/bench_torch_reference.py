@@ -1,0 +1,172 @@
+"""Reference-equivalent training throughput in torch (CPU).
+
+The reference runs on torch (+torch_scatter / graphmuse); neither CUDA nor
+the C extensions are available here, so this measures a faithful plain-torch
+implementation of the same training step on the same sampled workload:
+per-relation SAGE convs with the reference's scatter-mean-with-out semantics
+(models/core/gnn.py:62-76) over the same 13 edge types × 3 layers, 21 task
+heads, label-smoothed CE sum, AdamW.
+
+Writes the measured edges/s into bench_baseline.json — bench.py uses it as
+the ``vs_baseline`` denominator.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import torch
+
+from analysisgnn_tpu.core.graph import NOTE
+from analysisgnn_tpu.data.features import select_features
+from analysisgnn_tpu.data.graph_build import build_score_graph
+from analysisgnn_tpu.data.note_array import synthetic_score
+from analysisgnn_tpu.data.sampler import SamplerConfig, ScoreSample, SubgraphSampler
+from analysisgnn_tpu.theory.encoders import KeySignatureEncoder, PitchEncoder
+from analysisgnn_tpu.theory.vocab import TASK_DICT
+
+
+def scatter_mean_with_out(src, index, out):
+    acc = out.clone()
+    acc.index_add_(0, index, src)
+    count = torch.zeros(out.shape[0])
+    count.index_add_(0, index, torch.ones(len(index)))
+    return acc / count.clamp(min=1.0).unsqueeze(-1)
+
+
+class SageConv(torch.nn.Module):
+    def __init__(self, in_f, out_f):
+        super().__init__()
+        self.neigh = torch.nn.Linear(in_f, in_f)
+        self.out = torch.nn.Linear(2 * in_f, out_f)
+
+    def forward(self, x, ei):
+        h = self.neigh(x)
+        he = h[ei[1]]
+        s = scatter_mean_with_out(he, ei[0], x.clone())
+        return self.out(torch.cat([x, s], -1))
+
+
+class RefModel(torch.nn.Module):
+    def __init__(self, in_f, hidden, out_f, relations, tasks, layers=3):
+        super().__init__()
+        self.relations = relations
+        self.pitch_emb = torch.nn.Embedding(35, 64)
+        self.key_emb = torch.nn.Embedding(15, 64)
+        self.proj = torch.nn.Linear(in_f + 128, hidden)
+        self.layers = torch.nn.ModuleList(
+            [
+                torch.nn.ModuleDict({r: SageConv(hidden, hidden) for r in relations})
+                for _ in range(layers + 1)
+            ]
+        )
+        self.project_enc = torch.nn.Linear(2 * hidden, out_f)
+        self.heads = torch.nn.ModuleDict(
+            {
+                t: torch.nn.Sequential(
+                    torch.nn.Linear(out_f, out_f // 2),
+                    torch.nn.ReLU(),
+                    torch.nn.LayerNorm(out_f // 2),
+                    torch.nn.Linear(out_f // 2, c),
+                )
+                for t, c in tasks
+            }
+        )
+
+    def forward(self, x, ps, ks, edges):
+        h = self.proj(torch.cat([x, self.pitch_emb(ps), self.key_emb(ks)], -1))
+        for layer in self.layers:
+            outs = [conv(h, edges[r]) for r, conv in layer.items() if r in edges]
+            h = torch.stack(outs).mean(0)
+            h = torch.nn.functional.normalize(torch.relu(h), dim=-1)
+        onset = edges["onset"]
+        pool = scatter_mean_with_out(h[onset[1]], onset[0], h.clone())
+        z = self.project_enc(torch.cat([h, pool], -1))
+        return {t: head(z) for t, head in self.heads.items()}
+
+
+def main():
+    tasks = tuple(TASK_DICT.items())
+    samples = []
+    for s in range(4):
+        na = synthetic_score(num_notes=2000, seed=s)
+        feats = select_features(na, "voice")
+        g = build_score_graph(na, add_beats=True, add_measures=True)
+        features = {
+            NOTE: feats,
+            "beat": np.zeros((max(g.num_beats, 1), feats.shape[1]), np.float32),
+            "measure": np.zeros((max(g.num_measures, 1), feats.shape[1]), np.float32),
+        }
+        rng = np.random.default_rng(s)
+        attrs = {
+            "pitch_spelling": PitchEncoder().encode(na),
+            "key_signature": KeySignatureEncoder().encode(na),
+            "onset_div": na["onset_div"].astype(np.int64),
+            "valid_label": np.ones(len(na), np.int64),
+        }
+        for task, n_cls in tasks:
+            attrs[task] = rng.integers(0, n_cls, size=len(na)).astype(np.int64)
+        samples.append(ScoreSample(features=features, edges=g.edges, note_attrs=attrs))
+    cfg = SamplerConfig(subgraph_size=500, batch_size=8, num_neighbors=(5, 5), seed=0)
+    sampler = SubgraphSampler(samples, cfg)
+    batch = sampler.sample_batch()
+    total_edges = int(sum(np.asarray(v) for v in batch.num_edges.values()))
+
+    relations = [
+        "onset", "consecutive", "during", "rest",
+        "consecutive_rev", "during_rev", "rest_rev",
+    ]
+    # valid note-note edges only (torch runs ragged, no padding needed)
+    edges = {}
+    nvalid = int(np.asarray(batch.num_nodes[NOTE]))
+    for r in relations:
+        key = f"note__{r}__note"
+        e = np.asarray(batch.edge_index[key])[:, : int(np.asarray(batch.num_edges[key]))]
+        edges[r] = torch.from_numpy(e.astype(np.int64))
+    x = torch.from_numpy(np.asarray(batch.node_features[NOTE])[:nvalid])
+    for r in relations:
+        edges[r] = edges[r].clamp(max=nvalid - 1)
+    ps = torch.from_numpy(np.asarray(batch.node_attrs[NOTE]["pitch_spelling"])[:nvalid].astype(np.int64))
+    ks = torch.from_numpy(np.asarray(batch.node_attrs[NOTE]["key_signature"])[:nvalid].astype(np.int64))
+    labels = {
+        t: torch.from_numpy(np.asarray(batch.node_attrs[NOTE][t])[:nvalid].astype(np.int64)).clamp(max=c - 1)
+        for t, c in tasks
+    }
+
+    model = RefModel(x.shape[1], 256, 128, relations, tasks)
+    optim = torch.optim.AdamW(model.parameters(), lr=5e-3, weight_decay=5e-3)
+    ce = torch.nn.CrossEntropyLoss(label_smoothing=0.1)
+
+    def step():
+        optim.zero_grad()
+        logits = model(x, ps, ks, edges)
+        loss = sum(ce(v, labels[t]) for t, v in logits.items())
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        optim.step()
+        return float(loss)
+
+    step()  # warmup
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = (time.perf_counter() - t0) / iters
+    eps = total_edges / dt
+    print(f"torch-CPU reference: {dt*1e3:.1f} ms/step  {eps/1e3:.0f} K edges/s")
+    out = {
+        "reference_impl": "torch-cpu plain (scatter-mean-with-out SAGE, 13 relations x 4 layers, 21 heads)",
+        "edges_per_s": round(eps, 1),
+        "ms_per_step": round(dt * 1e3, 1),
+        "machine": "build host CPU",
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench_baseline.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
