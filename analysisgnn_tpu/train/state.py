@@ -64,15 +64,21 @@ def create_train_state(
 
 
 def make_optimizer(
-    lr_schedule, weight_decay: float = 5e-3, clip_norm: float = 1.0
+    lr_schedule, weight_decay: float = 5e-3, clip_norm: float = 1.0,
+    flatten: bool = True,
 ) -> optax.GradientTransformation:
     """AdamW + global-norm clipping 1.0 (reference Trainer
     ``gradient_clip_val=1.0`` + ``configure_optimizers``,
-    train_analysisgnn.py:254, models/analysis.py:1380-1410)."""
-    return optax.chain(
+    train_analysisgnn.py:254, models/analysis.py:1380-1410).
+
+    ``flatten`` runs the update over one concatenated vector instead of
+    ~180 per-leaf kernels — identical math, far fewer ops per step.
+    """
+    opt = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(lr_schedule, weight_decay=weight_decay),
     )
+    return optax.flatten(opt) if flatten else opt
 
 
 def update_teacher(state: TrainState) -> TrainState:
