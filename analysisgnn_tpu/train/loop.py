@@ -199,6 +199,49 @@ class Trainer:
         checkpointer.wait_until_finished()
         return path
 
+    def save_full_state(self, state, tag: str = "full") -> str:
+        """Checkpoint the ENTIRE training state — params, optimizer moments,
+        uncertainty weights, step counter, teacher/fisher/means — for exact
+        resume (reference ModelCheckpoint ``save_last`` + hparams,
+        train_analysisgnn.py:237, models/analysis.py:917)."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.cfg.checkpoint_dir, tag))
+        payload = {
+            "step": state.step,
+            "params": state.params,
+            "mt_params": state.mt_params,
+            "opt_state": state.opt_state,
+            "teacher_params": state.teacher_params,
+            "fisher": state.fisher,
+            "means": state.means,
+            "rng": state.rng,
+        }
+        checkpointer = ocp.StandardCheckpointer()
+        checkpointer.save(path, payload, force=True)
+        checkpointer.wait_until_finished()
+        return path
+
+    def restore_full_state(self, state, tag: str = "full"):
+        import dataclasses as dc
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.cfg.checkpoint_dir, tag))
+        template = {
+            "step": state.step,
+            "params": state.params,
+            "mt_params": state.mt_params,
+            "opt_state": state.opt_state,
+            "teacher_params": state.teacher_params,
+            "fisher": state.fisher,
+            "means": state.means,
+            "rng": state.rng,
+        }
+        checkpointer = ocp.StandardCheckpointer()
+        restored = checkpointer.restore(path, template)
+        return dc.replace(state, **restored)
+
     def restore_checkpoint(self, state, tag: str):
         import dataclasses as dc
 

@@ -125,3 +125,38 @@ def test_combined_mode_training(tmp_path):
     trainer = Trainer(cfg, dm)
     state = trainer.fit(max_steps_per_epoch=2)
     assert trainer.history and np.isfinite(trainer.history[0]["train_loss"])
+
+
+def test_full_state_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    dm = make_dm()
+    cfg = TrainConfig(
+        num_layers=1, hidden_channels=16, out_channels=8, dropout=0.0,
+        cl_training=True, main_tasks=("cadence",), epochs_per_task=(1,),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    trainer = Trainer(cfg, dm)
+    state = trainer.fit(max_steps_per_epoch=2)
+    trainer.save_full_state(state, "full")
+    # perturb then restore — everything must come back, incl. step counter
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    zeroed = dc.replace(
+        state,
+        step=jnp.asarray(0, jnp.int32),
+        params=jax.tree_util.tree_map(jnp.zeros_like, state.params),
+    )
+    restored = trainer.restore_full_state(zeroed, "full")
+    assert int(restored.step) == int(state.step) and int(state.step) > 0
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        state.params, restored.params,
+    )
+    assert all(jax.tree_util.tree_leaves(same))
+    opt_same = jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        state.opt_state, restored.opt_state,
+    )
+    assert all(jax.tree_util.tree_leaves(opt_same))
