@@ -287,12 +287,15 @@ class Trainer:
                 t0 = time.time()
                 steps = max_steps_per_epoch or self.dm.steps_per_epoch(main_task)
                 losses = []
+                from analysisgnn_tpu.data.prefetch import prefetch
+
                 if cfg.cl_training:
-                    for batch in train_source(steps):
+                    # host-side sampling overlaps device compute
+                    for batch in prefetch(train_source(steps)):
                         state, aux = train_step(state, batch)
                         losses.append(float(aux["total_loss"]))
                 else:
-                    for batch_dict in self.dm.combined_train_batches(steps):
+                    for batch_dict in prefetch(self.dm.combined_train_batches(steps)):
                         for mt, batch in batch_dict.items():
                             ts, _, _ = self._steps_for(
                                 tuple(
