@@ -46,13 +46,14 @@ def create_train_state(
     opt_state = optimizer.init((params, mt))
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
     famo = famo_init(num_tasks)[0] if mt_strategy == "famo" else None
-    # teacher/means start equal to params but as DISTINCT buffers — the
-    # train step donates its input state, and duplicate buffers in one
-    # donated pytree are rejected by the runtime
+    # Every params-derived field gets DISTINCT buffers: the train step
+    # donates its input state, so (a) duplicate buffers in one donated
+    # pytree are rejected by the runtime, and (b) the caller's ``params``
+    # must stay valid after the first step.
     copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
     return TrainState(
         step=jnp.asarray(0, jnp.int32),
-        params=params,
+        params=copy(params),
         mt_params=mt,
         opt_state=opt_state,
         teacher_params=copy(params),
