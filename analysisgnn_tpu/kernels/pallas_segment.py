@@ -5,17 +5,27 @@ so a **node-tile grid** owns disjoint edge ranges — each program accumulates
 its tile's messages in VMEM and writes once, race-free.  Per-tile edge
 offsets are tiny host-computed arrays delivered via scalar prefetch
 (``PrefetchScalarGridSpec``), the canonical Pallas pattern for CSR-ish
-layouts.  Edge data lives in HBM and is streamed chunk-by-chunk into VMEM
-scratch with ``make_async_copy`` (HBM refs cannot be indexed directly).
+layouts.
+
+Mosaic-hardware constraints shape the data layout (all verified by compiling
+on a real v5e):
+  * HBM refs cannot be indexed — edge data streams chunk-by-chunk into VMEM
+    scratch via ``make_async_copy``; chunk starts are CHUNK_E-aligned (DMA
+    slice offsets must respect the (8, 128) tiling), with validity masks
+    covering the tile-boundary overlap,
+  * destination ids are laid out ``[E/128, 128]`` (width-1 slices violate
+    lane tiling) and consumed in 128-edge subrows,
+  * there are no vector gathers in-kernel: per-edge node values (softmax max
+    and denominator) are produced by one-hot matmuls on the MXU — the
+    FusedMM-style dense-hardware formulation.
 
 Kernels:
   * ``segment_sum_sorted`` — Σ msgs per destination node (SpMM reduction)
   * ``segment_softmax_sorted`` — numerically-stable per-destination softmax
     of attention logits (the HGT SDDMM→softmax normalizer)
 
-Both have jnp reference implementations in kernels/segment_ops.py and are
-validated against them (tests/test_pallas.py, interpret mode on CPU;
-compiled + verified on the real chip as well).
+Both match the jnp references in kernels/segment_ops.py
+(tests/test_pallas.py runs interpret mode on CPU and compiled on TPU).
 """
 
 from __future__ import annotations
@@ -29,9 +39,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# node rows per program / edge rows per inner chunk
+# node rows per program / edge rows per DMA chunk / edges per compute subrow
 TILE_N = 256
-CHUNK_E = 512
+CHUNK_E = 1024
+SUBROW = 128
 
 
 def tile_edge_offsets(dst_sorted: np.ndarray, num_nodes: int, tile_n: int = TILE_N) -> np.ndarray:
@@ -40,28 +51,25 @@ def tile_edge_offsets(dst_sorted: np.ndarray, num_nodes: int, tile_n: int = TILE
     return np.searchsorted(dst_sorted, bounds).astype(np.int32)
 
 
-def _pad_edges(arrs, e, fill_vals):
-    """Pad the edge axis so a chunk slice starting anywhere < e stays in
-    bounds (a clamped dynamic-slice start would misalign validity masks)."""
-    pad_e = CHUNK_E + ((-e) % CHUNK_E)
-    return [
-        jnp.pad(
-            a,
-            ((0, pad_e),) + ((0, 0),) * (a.ndim - 1),
-            constant_values=fv,
-        )
-        for a, fv in zip(arrs, fill_vals)
-    ]
+def _pad_len(e: int) -> int:
+    return CHUNK_E + ((-e) % CHUNK_E)
+
+
+def _prep_dst(dst_sorted: jax.Array, e: int, num_nodes: int) -> jax.Array:
+    dst = jnp.pad(
+        dst_sorted.astype(jnp.int32), (0, _pad_len(e)), constant_values=num_nodes
+    )
+    return dst.reshape(-1, SUBROW)
 
 
 def _segment_sum_kernel(
     offs_ref,  # scalar-prefetch: [num_tiles + 1] int32 edge offsets
-    msgs_ref,  # [E, F] messages in HBM
-    dst_ref,  # [E, 1] int32 sorted destination ids in HBM
+    msgs_ref,  # [E_pad, F] messages in HBM
+    dst_ref,  # [E_pad/128, 128] int32 sorted destination ids in HBM
     out_ref,  # [TILE_N, F] output tile (VMEM)
     acc_ref,  # VMEM scratch [TILE_N, F]
     msgs_buf,  # VMEM scratch [CHUNK_E, F]
-    dst_buf,  # VMEM scratch [CHUNK_E, 1]
+    dst_buf,  # VMEM scratch [CHUNK_E/128, 128]
     sems,  # DMA semaphores (2,)
 ):
     t = pl.program_id(0)
@@ -70,34 +78,45 @@ def _segment_sum_kernel(
     base = t * TILE_N
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    num_chunks = pl.cdiv(end - start, CHUNK_E)
+    aligned = (start // CHUNK_E) * CHUNK_E
+    num_chunks = pl.cdiv(end - aligned, CHUNK_E)
 
     def body(c, _):
-        e0 = start + c * CHUNK_E
+        e0 = pl.multiple_of(aligned + c * CHUNK_E, CHUNK_E)
+        r0 = e0 // SUBROW
         cp_m = pltpu.make_async_copy(
             msgs_ref.at[pl.ds(e0, CHUNK_E), :], msgs_buf, sems.at[0]
         )
         cp_d = pltpu.make_async_copy(
-            dst_ref.at[pl.ds(e0, CHUNK_E), :], dst_buf, sems.at[1]
+            dst_ref.at[pl.ds(r0, CHUNK_E // SUBROW), :], dst_buf, sems.at[1]
         )
         cp_m.start()
         cp_d.start()
         cp_m.wait()
         cp_d.wait()
-        msgs = msgs_buf[...]
-        dst = dst_buf[...][:, 0]
-        valid = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK_E, 1), 0)[:, 0] + e0) < end
-        local = jnp.where(valid, dst - base, TILE_N)  # out-of-tile → dropped
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (CHUNK_E, TILE_N), 1)
-            == local[:, None]
-        ).astype(msgs.dtype)
-        acc_ref[...] += jax.lax.dot_general(
-            onehot,
-            msgs,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+
+        def subrow(r, _):
+            dst = dst_buf[r, :]  # [128]
+            pos = e0 + r * SUBROW + jax.lax.broadcasted_iota(
+                jnp.int32, (SUBROW, 1), 0
+            )[:, 0]
+            valid = (pos >= start) & (pos < end)
+            local = jnp.where(valid, dst - base, TILE_N)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (SUBROW, TILE_N), 1)
+                == local[:, None]
+            ).astype(jnp.float32)
+            msgs = msgs_buf[pl.ds(r * SUBROW, SUBROW), :]
+            acc_ref[...] += jax.lax.dot_general(
+                onehot,
+                msgs,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK_E // SUBROW, subrow, 0)
         return 0
 
     jax.lax.fori_loop(0, num_chunks, body, 0)
@@ -116,8 +135,8 @@ def segment_sum_sorted(
     ``tile_offsets`` comes from :func:`tile_edge_offsets` (host side).
     """
     e, f = msgs.shape
-    dst2d = dst_sorted.reshape(-1, 1).astype(jnp.int32)
-    msgs, dst2d = _pad_edges([msgs, dst2d], e, [0, num_nodes])
+    msgs = jnp.pad(msgs, ((0, _pad_len(e)), (0, 0)))
+    dst_mat = _prep_dst(dst_sorted, e, num_nodes)
     num_tiles = pl.cdiv(num_nodes, TILE_N)
     padded_nodes = num_tiles * TILE_N
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -133,7 +152,7 @@ def segment_sum_sorted(
         scratch_shapes=[
             pltpu.VMEM((TILE_N, f), jnp.float32),
             pltpu.VMEM((CHUNK_E, f), jnp.float32),
-            pltpu.VMEM((CHUNK_E, 1), jnp.int32),
+            pltpu.VMEM((CHUNK_E // SUBROW, SUBROW), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -142,19 +161,20 @@ def segment_sum_sorted(
         out_shape=jax.ShapeDtypeStruct((padded_nodes, f), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_offsets, msgs, dst2d)
+    )(tile_offsets, msgs, dst_mat)
     return out[:num_nodes]
 
 
 def _segment_softmax_kernel(
+    true_h,
     offs_ref,
-    logits_ref,  # [E, H] in HBM
-    dst_ref,  # [E, 1] in HBM
-    out_ref,  # [E, H] in HBM
+    logits_ref,  # [E_pad, H] in HBM
+    dst_ref,  # [E_pad/128, 128] in HBM
+    out_ref,  # [E_pad, H] in HBM
     max_ref,  # scratch [TILE_N, H]
     sum_ref,  # scratch [TILE_N, H]
     logit_buf,  # scratch [CHUNK_E, H]
-    dst_buf,  # scratch [CHUNK_E, 1]
+    dst_buf,  # scratch [CHUNK_E/128, 128]
     out_buf,  # scratch [CHUNK_E, H]
     sems,  # DMA semaphores (3,)
 ):
@@ -164,73 +184,119 @@ def _segment_softmax_kernel(
     base = t * TILE_N
     max_ref[...] = jnp.full_like(max_ref, -jnp.inf)
     sum_ref[...] = jnp.zeros_like(sum_ref)
-    num_chunks = pl.cdiv(end - start, CHUNK_E)
-
-    def onehot_of(local):
-        return (
-            jax.lax.broadcasted_iota(jnp.int32, (CHUNK_E, TILE_N), 1)
-            == local[:, None]
-        )
+    aligned = (start // CHUNK_E) * CHUNK_E
+    num_chunks = pl.cdiv(end - aligned, CHUNK_E)
 
     def load_chunk(c):
-        e0 = start + c * CHUNK_E
+        e0 = pl.multiple_of(aligned + c * CHUNK_E, CHUNK_E)
+        r0 = e0 // SUBROW
         cp_l = pltpu.make_async_copy(
             logits_ref.at[pl.ds(e0, CHUNK_E), :], logit_buf, sems.at[0]
         )
         cp_d = pltpu.make_async_copy(
-            dst_ref.at[pl.ds(e0, CHUNK_E), :], dst_buf, sems.at[1]
+            dst_ref.at[pl.ds(r0, CHUNK_E // SUBROW), :], dst_buf, sems.at[1]
         )
         cp_l.start()
         cp_d.start()
         cp_l.wait()
         cp_d.wait()
-        logits = logit_buf[...]
-        dst = dst_buf[...][:, 0]
-        valid = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK_E, 1), 0)[:, 0] + e0) < end
+        return e0
+
+    def subrow_parts(e0, r):
+        dst = dst_buf[r, :]
+        pos = e0 + r * SUBROW + jax.lax.broadcasted_iota(
+            jnp.int32, (SUBROW, 1), 0
+        )[:, 0]
+        valid = (pos >= start) & (pos < end)
         local = jnp.where(valid, dst - base, TILE_N)
-        return e0, logits, local, valid
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (SUBROW, TILE_N), 1)
+            == local[:, None]
+        )
+        logits = logit_buf[pl.ds(r * SUBROW, SUBROW), :]
+        return logits, onehot, valid
 
     # pass 1: per-node max
     def pass1(c, _):
-        _, logits, local, valid = load_chunk(c)
-        oh = onehot_of(local)  # [CHUNK, TILE_N] bool
-        masked = jnp.where(
-            oh[:, :, None],
-            jnp.where(valid[:, None, None], logits[:, None, :], -jnp.inf),
-            -jnp.inf,
-        )
-        max_ref[...] = jnp.maximum(max_ref[...], masked.max(axis=0))
+        e0 = load_chunk(c)
+
+        def subrow(r, _):
+            logits, onehot, valid = subrow_parts(e0, r)
+            keep = onehot & valid[:, None]  # [S, T]
+            cols = []
+            for hh in range(true_h):  # true head count, a small static int
+                lh = jnp.broadcast_to(logits[:, hh][:, None], keep.shape)
+                masked = jnp.where(keep, lh, -jnp.inf)
+                cols.append(masked.max(axis=0)[:, None])  # [T, 1]
+            pad = max_ref.shape[1] - true_h
+            if pad:
+                cols.append(jnp.zeros((keep.shape[1], pad), jnp.float32))
+            max_ref[...] = jnp.maximum(max_ref[...], jnp.concatenate(cols, axis=1))
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK_E // SUBROW, subrow, 0)
         return 0
 
     jax.lax.fori_loop(0, num_chunks, pass1, 0)
     node_max = jnp.where(jnp.isfinite(max_ref[...]), max_ref[...], 0.0)
 
-    # pass 2: exp-sum
+    # pass 2: exp-sum (per-edge max via one-hot matmul, no gathers)
     def pass2(c, _):
-        _, logits, local, valid = load_chunk(c)
-        safe_local = jnp.minimum(local, TILE_N - 1)
-        shifted = logits - node_max[safe_local]
-        ex = jnp.where(valid[:, None] & (local < TILE_N)[:, None], jnp.exp(shifted), 0.0)
-        oh = onehot_of(local).astype(jnp.float32)
-        sum_ref[...] += jax.lax.dot_general(
-            oh, ex, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        e0 = load_chunk(c)
+
+        def subrow(r, _):
+            logits, onehot, valid = subrow_parts(e0, r)
+            oh = onehot.astype(jnp.float32)
+            edge_max = jax.lax.dot_general(
+                oh, node_max, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            mine = valid & onehot.any(axis=1)
+            ex = jnp.where(mine[:, None], jnp.exp(logits - edge_max), 0.0)
+            sum_ref[...] += jax.lax.dot_general(
+                oh, ex, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK_E // SUBROW, subrow, 0)
         return 0
 
     jax.lax.fori_loop(0, num_chunks, pass2, 0)
     denom = jnp.maximum(sum_ref[...], 1e-16)
 
-    # pass 3: normalized weights written back per chunk
+    # pass 3: normalized weights blended into the output (chunks overlap
+    # neighbouring tiles; RMW is safe — the TPU grid runs sequentially)
     def pass3(c, _):
-        e0, logits, local, valid = load_chunk(c)
-        safe_local = jnp.minimum(local, TILE_N - 1)
-        ex = jnp.where(
-            valid[:, None] & (local < TILE_N)[:, None],
-            jnp.exp(logits - node_max[safe_local]),
-            0.0,
+        e0 = load_chunk(c)
+        cp_in = pltpu.make_async_copy(
+            out_ref.at[pl.ds(e0, CHUNK_E), :], out_buf, sems.at[2]
         )
-        out_buf[...] = ex / denom[safe_local]
+        cp_in.start()
+        cp_in.wait()
+
+        def subrow(r, _):
+            logits, onehot, valid = subrow_parts(e0, r)
+            oh = onehot.astype(jnp.float32)
+            edge_max = jax.lax.dot_general(
+                oh, node_max, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            edge_denom = jax.lax.dot_general(
+                oh, denom, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            mine = valid & onehot.any(axis=1)
+            w = jnp.exp(logits - edge_max) / jnp.maximum(edge_denom, 1e-16)
+            sl = pl.ds(r * SUBROW, SUBROW)
+            out_buf[sl, :] = jnp.where(mine[:, None], w, out_buf[sl, :])
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK_E // SUBROW, subrow, 0)
         cp_o = pltpu.make_async_copy(
             out_buf, out_ref.at[pl.ds(e0, CHUNK_E), :], sems.at[2]
         )
@@ -248,11 +314,17 @@ def segment_softmax_sorted(
     num_nodes: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Per-destination softmax of [E, H] logits (destinations sorted)."""
+    """Per-destination softmax of [E, H] logits (destinations sorted).
+
+    The head axis is padded to the 128-lane tile on the host (HBM DMA slices
+    must cover full lane tiles); padded columns are sliced off on return.
+    """
     e, h = logits.shape
-    dst2d = dst_sorted.reshape(-1, 1).astype(jnp.int32)
-    logits, dst2d = _pad_edges([logits, dst2d], e, [0, num_nodes])
+    h_pad = ((-h) % 128)
+    logits = jnp.pad(logits, ((0, _pad_len(e)), (0, h_pad)))
+    dst_mat = _prep_dst(dst_sorted, e, num_nodes)
     num_tiles = pl.cdiv(num_nodes, TILE_N)
+    hp = h + h_pad
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
@@ -262,19 +334,21 @@ def segment_softmax_sorted(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         scratch_shapes=[
-            pltpu.VMEM((TILE_N, h), jnp.float32),
-            pltpu.VMEM((TILE_N, h), jnp.float32),
-            pltpu.VMEM((CHUNK_E, h), jnp.float32),
-            pltpu.VMEM((CHUNK_E, 1), jnp.int32),
-            pltpu.VMEM((CHUNK_E, h), jnp.float32),
+            pltpu.VMEM((TILE_N, hp), jnp.float32),
+            pltpu.VMEM((TILE_N, hp), jnp.float32),
+            pltpu.VMEM((CHUNK_E, hp), jnp.float32),
+            pltpu.VMEM((CHUNK_E // SUBROW, SUBROW), jnp.int32),
+            pltpu.VMEM((CHUNK_E, hp), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
+    import functools
+
     out = pl.pallas_call(
-        _segment_softmax_kernel,
-        out_shape=jax.ShapeDtypeStruct((logits.shape[0], h), jnp.float32),
+        functools.partial(_segment_softmax_kernel, h),
+        out_shape=jax.ShapeDtypeStruct((logits.shape[0], hp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_offsets, logits, dst2d)
-    return out[:e]
+    )(tile_offsets, logits, dst_mat)
+    return out[:e, :h]
