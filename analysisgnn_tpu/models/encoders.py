@@ -116,61 +116,31 @@ class HGTLayer(nn.Module):
             t: nn.Dense(self.hidden, name=f"v_{t}")(x).reshape(-1, self.heads, h_dim)
             for t, x in x_dict.items()
         }
-        # Relation-batched formulation: the per-relation key/message
-        # transforms are applied at NODE level in one [R, N, H, D] einsum per
-        # (src-type, info-type) group, then a single gather over the
-        # concatenated edge set picks transformed rows — the same
-        # kernel-count collapse as models/fused.py, applied to typed
-        # attention.
+        # collect per-aggregating-type edge logits and messages
         per_type_logits: Dict[str, list] = {t: [] for t in node_types}
         per_type_msgs: Dict[str, list] = {t: [] for t in node_types}
         per_type_segs: Dict[str, list] = {t: [] for t in node_types}
-        present = [
-            et
-            for et in self.edge_types
-            if et in edge_index_dict and et[0] in x_dict and et[2] in x_dict
-        ]
-        groups: Dict[Tuple[str, str], list] = {}
-        for et in present:
-            groups.setdefault((et[0], et[2]), []).append(et)
-        for (src_t, dst_t), rels in groups.items():
-            r = len(rels)
-            tag = f"{src_t}__{dst_t}"
+        for et in self.edge_types:
+            src_t, rel, dst_t = et
+            if et not in edge_index_dict or src_t not in x_dict or dst_t not in x_dict:
+                continue
+            tag = f"{src_t}__{rel}__{dst_t}"
             w_att = self.param(
-                f"watt_{tag}", nn.initializers.xavier_uniform(),
-                (r, self.heads, h_dim, h_dim),
+                f"watt_{tag}", nn.initializers.xavier_uniform(), (self.heads, h_dim, h_dim)
             )
             w_msg = self.param(
-                f"wmsg_{tag}", nn.initializers.xavier_uniform(),
-                (r, self.heads, h_dim, h_dim),
+                f"wmsg_{tag}", nn.initializers.xavier_uniform(), (self.heads, h_dim, h_dim)
             )
-            prior = self.param(f"prior_{tag}", nn.initializers.ones, (r, self.heads))
-            n_dst = k[dst_t].shape[0]
-            # node-level transforms, relation-batched (MXU)
-            k_t = jnp.einsum("nhd,rhdf->rnhf", k[dst_t], w_att)
-            v_t = jnp.einsum("nhd,rhdf->rnhf", v[dst_t], w_msg)
-            k_flat = k_t.reshape(r * n_dst, self.heads, h_dim)
-            v_flat = v_t.reshape(r * n_dst, self.heads, h_dim)
-            # concatenated edges with relation offsets into the flat arrays
-            srcs, gathers, priors_e = [], [], []
-            for i, et in enumerate(rels):
-                ei = edge_index_dict[et]
-                dst_idx = jnp.minimum(ei[1], n_dst - 1)
-                gathers.append(i * n_dst + dst_idx)
-                srcs.append(ei[0])
-                priors_e.append(
-                    jnp.broadcast_to(prior[i], (ei.shape[1], self.heads))
-                )
-            gather_idx = jnp.concatenate(gathers)
-            src_all = jnp.concatenate(srcs)
-            prior_all = jnp.concatenate(priors_e, axis=0)
-            k_e = k_flat[jnp.minimum(gather_idx, r * n_dst - 1)]
-            msg = v_flat[jnp.minimum(gather_idx, r * n_dst - 1)]
-            q_e = _gather(q[src_t], src_all)
-            logits = (q_e * k_e).sum(-1) * prior_all / jnp.sqrt(h_dim)
+            prior = self.param(f"prior_{tag}", nn.initializers.ones, (self.heads,))
+            ei = edge_index_dict[et]
+            k_e = _gather(k[dst_t], ei[1])  # [E, H, D] info source
+            q_e = _gather(q[src_t], ei[0])  # [E, H, D] aggregator
+            k_t = jnp.einsum("ehd,hdf->ehf", k_e, w_att)
+            logits = (q_e * k_t).sum(-1) * prior / jnp.sqrt(h_dim)  # [E, H]
+            msg = jnp.einsum("ehd,hdf->ehf", _gather(v[dst_t], ei[1]), w_msg)
             per_type_logits[src_t].append(logits)
             per_type_msgs[src_t].append(msg)
-            per_type_segs[src_t].append(src_all)
+            per_type_segs[src_t].append(ei[0])
         out: Dict[str, jax.Array] = {}
         for t in node_types:
             n = x_dict[t].shape[0]
