@@ -18,6 +18,8 @@ from analysisgnn_tpu.theory.vocab import TASK_DICT
 
 def get_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train the TPU-native AnalysisGNN")
+    p.add_argument("--gpus", type=str, default="-1",
+                   help="accepted for reference parity; devices come from JAX")
     p.add_argument("--num_layers", type=int, default=3)
     p.add_argument("--hidden_channels", type=int, default=256)
     p.add_argument("--out_channels", type=int, default=128)
@@ -32,9 +34,26 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_ewc", type=float, default=2.0)
     p.add_argument("--lambda_edge", type=float, default=0.1)
     p.add_argument("--use_edge_loss", action="store_true")
+    p.add_argument("--load_from_checkpoint", action="store_true",
+                   help="resume from checkpoint_dir/full before training")
     p.add_argument("--model", type=str, default="HybridGNN",
                    choices=["HybridGNN", "HGT", "MetricalGNN"])
     p.add_argument("--use_jk", action="store_true")
+    p.add_argument("--tags", type=str, default="", help="wandb run tags")
+    p.add_argument("--homogeneous", action="store_true",
+                   help="accepted for parity (hetero path is always used)")
+    p.add_argument("--reg_loss_type", type=str, default="la")
+    p.add_argument("--auto_batch_size", type=bool, default=True,
+                   help="accepted for parity; shapes are static under jit")
+    p.add_argument("--use_reledge", action="store_true")
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--use_metrical", action="store_true",
+                   help="alias for --add_beats --add_measures")
+    p.add_argument("--feat_norm_scale", type=float, default=0.0)
+    p.add_argument("--compile", action="store_true",
+                   help="accepted for parity; everything is jit-compiled")
+    p.add_argument("--has_memories", type=bool, default=False,
+                   help="EWC memory replay (same as --use_ewc)")
     p.add_argument("--raw_dir", type=str, default=None,
                    help="root dir with per-main-task corpora (see docs)")
     p.add_argument("--batch_size", type=int, default=100)
@@ -58,6 +77,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_ewc", action="store_true")
     p.add_argument("--cl_training", action="store_true")
     p.add_argument("--use_smote", action="store_true")
+    p.add_argument("--use_swa", action="store_true",
+                   help="stochastic weight averaging over the training tail")
     p.add_argument("--force_reload", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--demo", action="store_true",
@@ -80,6 +101,11 @@ def resolve_config(argv=None) -> Dict:
         config["epochs_per_task"] = [int(n) for n in epochs]
         config["num_epochs"] = sum(config["epochs_per_task"])
     config["task_dict"] = dict(TASK_DICT)
+    if config.get("use_metrical"):
+        config["add_beats"] = True
+        config["add_measures"] = True
+    if config.get("has_memories"):
+        config["use_ewc"] = True
     if args.config_path:
         with open(args.config_path) as f:
             file_cfg = json.load(f)
@@ -174,6 +200,10 @@ def main(argv=None) -> None:
         lambda_featl=config.get("lambda_featl", 0.1),
         lambda_ewc=config.get("lambda_ewc", 2.0),
         use_ewc=config.get("use_ewc", False),
+        use_smote=config.get("use_smote", False),
+        use_swa=config.get("use_swa", False),
+        use_edge_loss=config.get("use_edge_loss", False),
+        lambda_edge=config.get("lambda_edge", 0.1),
         cl_training=config.get("cl_training", False),
         main_tasks=tuple(config["main_tasks"]),
         epochs_per_task=tuple(config.get("epochs_per_task", ())),
@@ -183,6 +213,8 @@ def main(argv=None) -> None:
         seed=config.get("seed", 0),
         checkpoint_dir=config.get("checkpoint_dir", "checkpoints"),
         log_path=os.path.join(config.get("checkpoint_dir", "checkpoints"), "log.jsonl"),
+        use_wandb=config.get("use_wandb", False),
+        resume=config.get("load_from_checkpoint", False),
     )
     trainer = Trainer(tc, dm)
     # persist the model-construction config next to checkpoints for predict

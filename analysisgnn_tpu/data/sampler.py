@@ -114,6 +114,11 @@ class SubgraphSampler:
             self.edge_caps[et] = int(base * per_note)
         self.feature_dims = {t: v.shape[1] for t, v in self.samples[0].features.items()}
         self.attr_names = sorted(self.samples[0].note_attrs.keys())
+        # observability: edges dropped by capacity truncation, per edge type
+        # (a silently-lossy batch hides graph structure — surface it)
+        self.edge_overflow: Dict[EdgeType, int] = {}
+        self.overflow_batches: int = 0
+        self._warned_overflow = False
 
     # ------------------------------------------------------------------ #
 
@@ -312,11 +317,30 @@ class SubgraphSampler:
                 (et, all_edges.get(et, [])) for et in self.edge_caps
             )
         }
-        # truncate to capacity (rare; log-free clip keeps shapes static)
+        # truncate to capacity — rare, but never silent: count dropped edges
+        # per type and warn the first time it happens so a dense corpus that
+        # needs a larger ``edge_capacity_per_note`` is visible.
+        overflowed = False
         for et, ei in edges_cat.items():
             cap = self.edge_caps[et]
             if ei.shape[1] > cap:
+                dropped = ei.shape[1] - cap
+                self.edge_overflow[et] = self.edge_overflow.get(et, 0) + dropped
+                overflowed = True
+                if not self._warned_overflow:
+                    import warnings
+
+                    warnings.warn(
+                        f"SubgraphSampler: dropped {dropped} '{et[1]}' edges over "
+                        f"capacity {cap}; raise edge_capacity_per_note[{et[1]!r}] "
+                        "if this recurs (counts in sampler.edge_overflow)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    self._warned_overflow = True
                 edges_cat[et] = ei[:, :cap]
+        if overflowed:
+            self.overflow_batches += 1
 
         node_caps = {NOTE: self.note_cap}
         for t in other_types:

@@ -74,6 +74,9 @@ class TrainConfig:
     use_edge_loss: bool = False
     lambda_edge: float = 0.1
     use_smote: bool = False
+    use_swa: bool = False  # stochastic weight averaging (reference
+    # StochasticWeightAveraging callback, train_analysisgnn.py:243-245)
+    swa_start_frac: float = 0.75  # fraction of total epochs before averaging
     cl_training: bool = False
     main_tasks: Tuple[str, ...] = ("all", "cadence", "rna")
     epochs_per_task: Tuple[int, ...] = ()
@@ -84,6 +87,7 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     log_path: Optional[str] = None
     use_wandb: bool = False
+    resume: bool = False  # restore full state from checkpoint_dir/full
 
 
 class Trainer:
@@ -264,8 +268,19 @@ class Trainer:
         example = next(iter(self.dm.combined_train_batches(1)))
         first_task = main_tasks[0]
         state = self._init_state(example[first_task])
+        if cfg.resume and os.path.isdir(
+            os.path.join(cfg.checkpoint_dir, "full")
+        ):
+            state = self.restore_full_state(state, "full")
 
         previous: Tuple[str, ...] = ()
+        # stochastic weight averaging: uniform running mean of params over the
+        # tail `1 - swa_start_frac` of training (Lightning SWA equivalent,
+        # reference train_analysisgnn.py:243-245)
+        total_epochs = sum(epochs_per_task)
+        swa_begin = int(cfg.swa_start_frac * total_epochs)
+        swa_params, swa_n = None, 0
+        global_epoch = 0
         for ti, main_task in enumerate(main_tasks):
             if cfg.cl_training:
                 active = tuple(
@@ -305,9 +320,14 @@ class Trainer:
                             )
                             state, aux = ts(state, batch)
                             losses.append(float(aux["total_loss"]))
-                # validation
-                val_metrics: Dict[str, float] = {}
-                count = 0
+                # validation (note-weighted accumulation: a 10-note batch no
+                # longer counts as much as a 10,000-note one)
+                from analysisgnn_tpu.train.metrics import (
+                    accumulate_weighted,
+                    finalize_weighted,
+                )
+
+                val_acc: Dict[str, object] = {}
                 for mt in (main_tasks if cfg.cl_training else self.dm.main_tasks):
                     _, ev, _ = self._steps_for(
                         tuple(
@@ -320,12 +340,8 @@ class Trainer:
                         previous,
                     )
                     for batch in self.dm.val_batches(mt):
-                        m = ev(state, batch)
-                        for k, v in m.items():
-                            val_metrics[k] = val_metrics.get(k, 0.0) + float(v)
-                        count += 1
-                if count:
-                    val_metrics = {k: v / count for k, v in val_metrics.items()}
+                        accumulate_weighted(val_acc, ev(state, batch))
+                val_metrics = finalize_weighted(val_acc)
                 rec = {
                     "task": main_task,
                     "epoch": epoch,
@@ -338,6 +354,19 @@ class Trainer:
                 if vl is not None and vl < self.best_val:
                     self.best_val = vl
                     self.save_checkpoint(state, "best")
+                if cfg.use_swa and global_epoch >= swa_begin:
+                    if swa_params is None:
+                        swa_params = jax.tree_util.tree_map(
+                            jax.numpy.copy, state.params
+                        )
+                    else:
+                        swa_params = jax.tree_util.tree_map(
+                            lambda s, p: (s * swa_n + p) / (swa_n + 1),
+                            swa_params,
+                            state.params,
+                        )
+                    swa_n += 1
+                global_epoch += 1
 
             # ---- task switch (reference on_validation_epoch_end) ----------
             self.save_checkpoint(state, f"{main_task}_model")
@@ -356,14 +385,23 @@ class Trainer:
                             _, _, fs = self._steps_for(active, previous)
                             state = fs(state, batch, np.float32(ti + 1))
                             break
+        if cfg.use_swa and swa_params is not None:
+            # swap the averaged weights in for final eval/checkpoints, as
+            # Lightning's SWA callback does at the end of fit
+            state = dataclasses.replace(state, params=swa_params)
+            self.save_checkpoint(state, "swa")
         self.save_checkpoint(state, "last")
         return state
 
     def evaluate(self, state, split: str = "test") -> Dict[str, float]:
         """Full-graph evaluation on the test split with composite RNA
         metrics (reference Trainer.test path, test_step :1184-1282)."""
-        results: Dict[str, float] = {}
-        counts: Dict[str, int] = {}
+        from analysisgnn_tpu.train.metrics import (
+            accumulate_weighted,
+            finalize_weighted,
+        )
+
+        acc: Dict[str, Dict[str, object]] = {}
         for mt in self.dm.main_tasks:
             active = tuple(self.dm.active_tasks(mt))
             sc = StepConfig(
@@ -373,10 +411,11 @@ class Trainer:
             batches = (
                 self.dm.test_batches(mt) if split == "test" else self.dm.val_batches(mt)
             )
+            per_mt = acc.setdefault(mt, {})
             for batch in batches:
-                m = tstep(state, batch)
-                for k, v in m.items():
-                    key = f"{mt}/{k}"
-                    results[key] = results.get(key, 0.0) + float(v)
-                    counts[key] = counts.get(key, 0) + 1
-        return {k: v / counts[k] for k, v in results.items()}
+                accumulate_weighted(per_mt, tstep(state, batch))
+        return {
+            f"{mt}/{k}": v
+            for mt, d in acc.items()
+            for k, v in finalize_weighted(d).items()
+        }

@@ -40,6 +40,72 @@ def masked_macro_f1(
     return (f1 * present).sum() / jnp.maximum(present.sum(), 1.0)
 
 
+def f1_stats(
+    logits: jax.Array, labels: jax.Array, weight: jax.Array, num_classes: int
+) -> jax.Array:
+    """Sufficient statistics [tp, fp, fn] per class, shape [3, C].
+
+    Accumulated additively across batches and finalized by
+    :func:`finalize_f1` — this reproduces torchmetrics' split-level macro-F1
+    accumulation (reference models/analysis.py:890-891) instead of averaging
+    per-batch F1 values.
+    """
+    pred = jnp.argmax(logits, axis=-1)
+    w = weight.astype(jnp.float32)
+    labels = jnp.clip(labels, 0, num_classes - 1)
+    onehot_true = jax.nn.one_hot(labels, num_classes) * w[:, None]
+    onehot_pred = jax.nn.one_hot(pred, num_classes) * w[:, None]
+    tp = (onehot_true * onehot_pred).sum(0)
+    fp = onehot_pred.sum(0) - tp
+    fn = onehot_true.sum(0) - tp
+    return jnp.stack([tp, fp, fn])
+
+
+def finalize_f1(stats) -> float:
+    """Macro-F1 over classes present in the accumulated labels."""
+    import numpy as np
+
+    tp, fp, fn = np.asarray(stats, dtype=np.float64)
+    f1 = 2 * tp / np.maximum(2 * tp + fp + fn, 1e-9)
+    present = (tp + fn) > 0
+    return float(f1[present].mean()) if present.any() else 0.0
+
+
+def accumulate_weighted(acc: Dict[str, object], batch_metrics: Dict[str, jax.Array]) -> None:
+    """Accumulate one batch of step-metric outputs into ``acc``.
+
+    Convention: a key ``X__w`` is the weight (note count) for metric ``X``;
+    a key ``X_stats`` is an additively-accumulated statistics array
+    (e.g. per-class [tp, fp, fn] for macro-F1). Metrics accumulate as
+    ``Σ value·weight`` so a 10-note batch no longer counts as much as a
+    10,000-note one (fixes the batch-mean bias the reference's torchmetrics
+    never had).
+    """
+    import numpy as np
+
+    host = {k: np.asarray(v) for k, v in batch_metrics.items()}
+    for k, v in host.items():
+        if k.endswith("__w"):
+            continue
+        if k.endswith("_stats"):
+            acc[k] = acc.get(k, 0.0) + v.astype(np.float64)
+            continue
+        w = float(host.get(k + "__w", 1.0))
+        num, den = acc.get(k, (0.0, 0.0))
+        acc[k] = (num + float(v) * w, den + w)
+
+
+def finalize_weighted(acc: Dict[str, object]) -> Dict[str, float]:
+    out: Dict[str, float] = {}
+    for k, v in acc.items():
+        if k.endswith("_stats"):
+            out[k[: -len("_stats")]] = finalize_f1(v)
+        else:
+            num, den = v
+            out[k] = num / den if den > 0 else 0.0
+    return out
+
+
 def cantor_pair(a: jax.Array, b: jax.Array) -> jax.Array:
     """(a + b)(a + b + 1)/2 + b — the onset/graph dedup key the reference uses
     (models/analysis.py:36-41, :1246)."""
@@ -70,6 +136,7 @@ def onsetwise_rna_accuracy(
     batch_ids: jax.Array,
     weight: jax.Array,
     rna_keys: Tuple[str, ...] = RNA_KEYS,
+    with_weight: bool = False,
 ) -> jax.Array:
     """Composite RNA accuracy: all of quality∧inversion∧degree1∧degree2
     correct, evaluated once per unique (graph, onset) pair.
@@ -93,7 +160,10 @@ def onsetwise_rna_accuracy(
     ok = jnp.ones(n, bool)
     for k in rna_keys:
         ok = ok & (jnp.argmax(probs[k], -1) == labels_dict[k])
-    return (ok.astype(jnp.float32) * w).sum() / jnp.maximum(w.sum(), 1.0)
+    acc = (ok.astype(jnp.float32) * w).sum() / jnp.maximum(w.sum(), 1.0)
+    if with_weight:
+        return acc, w.sum()
+    return acc
 
 
 def roc_auc(scores: jax.Array, labels: jax.Array, weight: jax.Array) -> jax.Array:
@@ -140,6 +210,7 @@ def nct_rna_accuracy(
     labels_dict: Dict[str, jax.Array],
     weight: jax.Array,
     rna_keys: Tuple[str, ...] = NCT_RNA_KEYS,
+    with_weight: bool = False,
 ) -> jax.Array:
     """RNA accuracy over predicted chord-tone notes only (``tpc_in_label``
     argmax as mask; reference :1271-1282)."""
@@ -148,4 +219,7 @@ def nct_rna_accuracy(
     ok = jnp.ones(w.shape[0], bool)
     for k in rna_keys:
         ok = ok & (jnp.argmax(logits_dict[k], -1) == labels_dict[k])
-    return (ok.astype(jnp.float32) * w).sum() / jnp.maximum(w.sum(), 1.0)
+    acc = (ok.astype(jnp.float32) * w).sum() / jnp.maximum(w.sum(), 1.0)
+    if with_weight:
+        return acc, w.sum()
+    return acc

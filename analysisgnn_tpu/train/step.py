@@ -181,6 +181,7 @@ def compute_losses(
                 syn_logits, y_syn, w_syn, cfg.label_smoothing
             )
         metrics[f"{task}_acc"] = masked_accuracy(logits[task], labels, w)
+        metrics[f"{task}_acc__w"] = w.sum().astype(jnp.float32)
     task_order = tuple(t for t, _ in cfg.task_dict)
     if cfg.mt_strategy == "famo" and famo_state is not None:
         loss_vec = jnp.stack(
@@ -300,15 +301,23 @@ def make_train_step(model, optimizer: optax.GradientTransformation, cfg: StepCon
             new_famo = famo_update(state.famo, famo_opt, curr)._replace(
                 prev_loss=jnp.where(active, curr, state.famo.prev_loss)
             )
+        # NaN/Inf-loss step skip (reference models/analysis.py:732-733 returns
+        # None from training_step on non-finite loss): keep params/optimizer
+        # untouched for this batch, still advance step + rng.
+        finite = jnp.isfinite(aux["total_loss"])
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new, old
+        )
         new_state = dataclasses.replace(
             state,
             step=state.step + 1,
-            params=new_params,
-            mt_params=new_mt,
-            opt_state=new_opt_state,
+            params=keep(new_params, state.params),
+            mt_params=keep(new_mt, state.mt_params),
+            opt_state=keep(new_opt_state, state.opt_state),
             rng=new_rng,
-            famo=new_famo,
+            famo=keep(new_famo, state.famo) if new_famo is not None else None,
         )
+        aux["skipped_nonfinite"] = (~finite).astype(jnp.float32)
         return new_state, aux
 
     return train_step
@@ -321,11 +330,18 @@ def make_eval_step(model, cfg: StepConfig):
             model, state.params, state.mt_params, state.teacher_params,
             batch, cfg, None, True,
         )
-        return {
+        base_w, task_w = _task_weights(batch, cfg)
+        out = {
             "total_loss": total,
+            "total_loss__w": base_w.sum().astype(jnp.float32),
             **{f"{k}_loss": v for k, v in task_losses.items()},
+            **{
+                f"{k}_loss__w": task_w[k].sum().astype(jnp.float32)
+                for k in task_losses
+            },
             **metrics,
         }
+        return out
 
     return eval_step
 
@@ -337,6 +353,7 @@ def make_test_step(model, cfg: StepConfig):
     from analysisgnn_tpu.train.metrics import (
         NCT_RNA_KEYS,
         RNA_KEYS,
+        f1_stats,
         nct_rna_accuracy,
         onsetwise_rna_accuracy,
     )
@@ -362,20 +379,34 @@ def make_test_step(model, cfg: StepConfig):
             labels = jnp.where(labels < task_sizes[task], labels, 0)
             labels_dict[task] = labels
             out[f"{task}_acc"] = masked_accuracy(logits[task], labels, task_w[task])
+            out[f"{task}_acc__w"] = task_w[task].sum().astype(jnp.float32)
+            # split-level macro-F1 sufficient statistics (reference logs
+            # torchmetrics F1Score(average="macro") per task,
+            # models/analysis.py:890-891, 1147-1150)
+            out[f"{task}_f1_stats"] = f1_stats(
+                logits[task], labels, task_w[task], task_sizes[task]
+            )
         if all(k in cfg.active_tasks for k in RNA_KEYS):
             onset = batch.edges((NOTE, "onset", NOTE))
-            out["rna_onset_acc"] = onsetwise_rna_accuracy(
+            acc, wsum = onsetwise_rna_accuracy(
                 logits,
                 labels_dict,
                 onset,
                 attrs["onset_div"],
                 batch.batch[NOTE],
                 base_w,
+                with_weight=True,
             )
+            out["rna_onset_acc"] = acc
+            out["rna_onset_acc__w"] = wsum
         if "tpc_in_label" in cfg.active_tasks and all(
             k in cfg.active_tasks for k in NCT_RNA_KEYS
         ):
-            out["rna_nct_acc"] = nct_rna_accuracy(logits, labels_dict, base_w)
+            acc, wsum = nct_rna_accuracy(
+                logits, labels_dict, base_w, with_weight=True
+            )
+            out["rna_nct_acc"] = acc
+            out["rna_nct_acc__w"] = wsum
         return out
 
     return test_step
