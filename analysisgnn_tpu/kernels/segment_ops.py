@@ -145,6 +145,34 @@ def gather_scatter_mean(
     return segment_mean(msgs, dst, num_dst)
 
 
+def coalesce(edge_index: jax.Array, num_nodes: int):
+    """Sort edges lexicographically and drop duplicates — the static-shape
+    equivalent of ``torch_sparse.coalesce`` (reference usage at
+    analysisgnn/models/chord.py:150).
+
+    Returns ``(edges [2, E], count)``: unique edges sorted by (src, dst)
+    first, duplicate slots moved to the tail as ``(num_nodes, num_nodes)``
+    padding (dropped by every downstream segment op per the framework's
+    padding convention).
+    """
+    src, dst = edge_index[0], edge_index[1]
+    order = jnp.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    dup = (s == jnp.roll(s, 1)) & (d == jnp.roll(d, 1))
+    dup = dup.at[0].set(False)
+    # also push pre-existing padding (src/dst out of range) to the tail
+    invalid = dup | (s >= num_nodes) | (d >= num_nodes)
+    s = jnp.where(invalid, num_nodes, s)
+    d = jnp.where(invalid, num_nodes, d)
+    keep_first = jnp.argsort(invalid, stable=True)
+    out = jnp.stack([s[keep_first], d[keep_first]])
+    return out, edge_index.shape[1] - invalid.sum()
+
+
+def segment_min(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+    return jax.ops.segment_min(data, segment_ids, num_segments=num_segments)
+
+
 def sddmm_dot(
     q_dst: jax.Array,
     k_src: jax.Array,
