@@ -71,6 +71,57 @@ class BiResetGRU(nn.Module):
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
+class AssocResetGRU(nn.Module):
+    """Gated linear recurrence with segment resets, parallelized via
+    ``jax.lax.associative_scan`` (O(log T) depth instead of T sequential
+    steps).
+
+    h_t = (1 − z_t)·h_{t−1} + z_t·h̃_t, with update gate z_t and candidate
+    h̃_t computed from the input only (a "light GRU" / LRU-style recurrence).
+    The recurrence is affine in h, so prefix products evaluate exactly with
+    an associative scan — the TPU-idiomatic replacement for the reference's
+    sequential ``nn.GRU`` over ~2k beat/measure steps (the round-1
+    MetricalGNN bottleneck; docs/STATUS.md per-encoder table).  Resets zero
+    the carry at segment starts by forcing a_t = 0 there.
+    """
+
+    features: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, xs: jax.Array, starts: jax.Array) -> jax.Array:
+        if self.reverse:
+            resets = jnp.roll(starts, -1).at[-1].set(True)
+            xs, resets = xs[::-1], resets[::-1]
+        else:
+            resets = starts
+        zc = nn.Dense(2 * self.features, name="gates")(xs)
+        z = jax.nn.sigmoid(zc[..., : self.features])
+        cand = jnp.tanh(zc[..., self.features :])
+        keep = (1.0 - z) * (1.0 - resets[:, None].astype(xs.dtype))
+        b = z * cand
+
+        def combine(left, right):
+            a1, b1 = left
+            a2, b2 = right
+            return a1 * a2, a2 * b1 + b2
+
+        _, h = jax.lax.associative_scan(combine, (keep, b))
+        return h[::-1] if self.reverse else h
+
+
+class AssocBiGRU(nn.Module):
+    """Bidirectional associative-scan GRU ([T, 2F])."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, xs: jax.Array, starts: jax.Array) -> jax.Array:
+        fwd = AssocResetGRU(self.features, reverse=False)(xs, starts)
+        bwd = AssocResetGRU(self.features, reverse=True)(xs, starts)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
 class StackedBiGRU(nn.Module):
     """N-layer bidirectional GRU projecting back to ``features`` per layer —
     the analog of ``nn.GRU(..., num_layers, bidirectional=True)``
