@@ -83,6 +83,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--demo", action="store_true",
                    help="run on a small synthetic corpus (no data needed)")
+    p.add_argument("--test_split_file", type=str, default=None,
+                   help="JSON file with a list of held-out piece names "
+                        "(overrides the canonical DLC test split)")
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
     return p
 
@@ -158,13 +161,17 @@ def build_datamodule(config: Dict):
             add_measures=config.get("add_measures", False),
             force_reload=config.get("force_reload", False),
         )
+        test_names = None
+        if config.get("test_split_file"):
+            with open(config["test_split_file"]) as f:
+                test_names = json.load(f)
         for mt in config["main_tasks"]:
             sub = os.path.join(raw, mt)
             if not os.path.isdir(sub):
                 continue
             has_tsv = any(f.endswith(".tsv") for _, _, fs in os.walk(sub) for f in fs)
             corpus = (
-                DLCTsvCorpus(ccfg, sub, dlc=(mt != "rna"))
+                DLCTsvCorpus(ccfg, sub, test_names=test_names, dlc=(mt != "rna"))
                 if has_tsv
                 else MusicXMLCorpus(ccfg, sub)
             )

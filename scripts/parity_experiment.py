@@ -1,0 +1,295 @@
+"""Metric-parity experiment: this framework vs a plain-torch
+reference-equivalent, trained on the IDENTICAL synthetic-DLC corpus.
+
+The environment has no network access, so the real DLC/cadence corpora
+cannot be fetched (RESULTS.md documents this blocker).  This protocol is
+the strongest available substitute for BASELINE target #2: generate a
+musically-structured corpus in the exact DLC TSV schema
+(data/synth_dlc.py), ingest it through the production ``--raw_dir`` path,
+train BOTH frameworks with the reference recipe (HybridGNN-equivalent
+3x256, wloss, subgraph 500, warmup-cosine 5e-3, clip 1.0), and compare
+cadence macro-F1 + onset-wise RNA accuracy on the same held-out pieces,
+computed by the same metric code (train/metrics.py).
+
+    python scripts/parity_experiment.py gen     # corpus -> data_synth/
+    python scripts/parity_experiment.py jax     # train+eval on the chip
+    python scripts/parity_experiment.py torch   # torch anchor (CPU)
+
+Each stage writes results_<stage>.json; RESULTS.md summarizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DATA_DIR = os.path.join(ROOT, "data_synth")
+SPLIT_FILE = os.path.join(DATA_DIR, "test_split.json")
+N_PIECES = 24
+N_PHRASES = 10
+EPOCHS = 40
+
+
+def stage_gen() -> None:
+    from analysisgnn_tpu.data.synth_dlc import write_corpus
+
+    split = write_corpus(
+        os.path.join(DATA_DIR, "all"), n_pieces=N_PIECES, n_phrases=N_PHRASES,
+        seed=7, test_fraction=0.2,
+    )
+    with open(SPLIT_FILE, "w") as f:
+        json.dump(split["test"], f)
+    print(json.dumps({"pieces": N_PIECES, "test": split["test"]}))
+
+
+def _cli_args(checkpoint_dir: str):
+    return [
+        "--raw_dir", DATA_DIR,
+        "--test_split_file", SPLIT_FILE,
+        "--do_train", "--do_eval",
+        "--model", "HybridGNN",
+        "--num_layers", "3", "--hidden_channels", "256",
+        "--out_channels", "128",
+        "--num_epochs", str(EPOCHS),
+        "--subgraph_size", "500", "--batch_size", "80",
+        "--main_tasks", "all",
+        "--use_transpositions",
+        "--checkpoint_dir", checkpoint_dir,
+    ]
+
+
+def stage_jax() -> None:
+    import contextlib
+    import io
+
+    from analysisgnn_tpu.cli.train import main
+
+    ckpt = os.path.join(ROOT, "checkpoints_parity")
+    buf = io.StringIO()
+
+    class Tee(io.TextIOBase):
+        def write(self, s):
+            buf.write(s)
+            sys.__stdout__.write(s)
+            return len(s)
+
+    with contextlib.redirect_stdout(Tee()):
+        main(_cli_args(ckpt))
+    # the --do_eval metric dict is the final top-level JSON object on stdout
+    text = buf.getvalue()
+    metrics = None
+    depth, end = 0, len(text)
+    for i in range(len(text) - 1, -1, -1):
+        if text[i] == "}":
+            if depth == 0:
+                end = i + 1
+            depth += 1
+        elif text[i] == "{":
+            depth -= 1
+            if depth == 0:
+                metrics = json.loads(text[i:end])
+                break
+    out = {"framework": "analysisgnn_tpu", "epochs": EPOCHS, "metrics": metrics}
+    with open(os.path.join(ROOT, "results_jax.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+# ---------------------------------------------------------------------------
+# torch reference-equivalent
+# ---------------------------------------------------------------------------
+
+
+def _build_datamodule():
+    from analysisgnn_tpu.data.corpus import CorpusConfig, DLCTsvCorpus
+    from analysisgnn_tpu.data.datamodule import AnalysisDataModule, DataModuleConfig
+
+    with open(SPLIT_FILE) as f:
+        test_names = json.load(f)
+    ccfg = CorpusConfig(
+        cache_dir=os.path.join(DATA_DIR, ".cache"), feature_type="voice",
+        transpose=True,
+    )
+    corpus = DLCTsvCorpus(
+        ccfg, os.path.join(DATA_DIR, "all"), test_names=test_names, dlc=True
+    ).load()
+    dm_cfg = DataModuleConfig(
+        subgraph_size=500, batch_size=8, augment=True, seed=0
+    )
+    return AnalysisDataModule({"all": corpus.samples}, dm_cfg).setup()
+
+
+_RELATIONS = [
+    "onset", "consecutive", "during", "rest",
+    "consecutive_rev", "during_rev", "rest_rev",
+]
+
+
+def _unpack(batch, tasks):
+    """Padded HeteroGraph -> ragged torch tensors (valid rows only)."""
+    import torch
+
+    from analysisgnn_tpu.core.graph import NOTE
+
+    nvalid = int(np.asarray(batch.num_nodes[NOTE]))
+    edges = {}
+    for r in _RELATIONS:
+        key = f"note__{r}__note"
+        e = np.asarray(batch.edge_index[key])[:, : int(np.asarray(batch.num_edges[key]))]
+        edges[r] = torch.from_numpy(e.astype(np.int64)).clamp(max=nvalid - 1)
+    attrs = batch.node_attrs[NOTE]
+    x = torch.from_numpy(np.asarray(batch.node_features[NOTE])[:nvalid])
+    ps = torch.from_numpy(np.asarray(attrs["pitch_spelling"])[:nvalid].astype(np.int64))
+    ks = torch.from_numpy(np.asarray(attrs["key_signature"])[:nvalid].astype(np.int64))
+    labels = {
+        t: torch.from_numpy(
+            np.minimum(np.asarray(attrs[t])[:nvalid], c - 1).astype(np.int64)
+        )
+        for t, c in tasks
+        if t in attrs
+    }
+    n_target = int(np.asarray(batch.num_target_nodes))
+    base = np.zeros(nvalid, bool)
+    base[:n_target] = True
+    if "valid_label" in attrs:
+        base &= np.asarray(attrs["valid_label"])[:nvalid].astype(bool)
+    return x, ps, ks, edges, labels, base, nvalid
+
+
+def stage_torch() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+
+    from bench_torch_reference import RefModel
+    from analysisgnn_tpu.core.graph import NOTE
+    from analysisgnn_tpu.theory.vocab import TASK_DICT
+    from analysisgnn_tpu.train.schedules import warmup_cosine_schedule
+    from analysisgnn_tpu.train.step import TASK_MASK_ATTRS
+
+    tasks = tuple((t, c) for t, c in TASK_DICT.items())
+    dm = _build_datamodule()
+    steps_per_epoch = dm.steps_per_epoch("all")
+    total_steps = steps_per_epoch * EPOCHS
+    print(f"steps/epoch={steps_per_epoch} total={total_steps}")
+
+    model = RefModel(dm.feature_dim, 256, 128, _RELATIONS, tasks)
+    wloss_p = torch.nn.Parameter(torch.ones(len(tasks)))
+    optim = torch.optim.AdamW(
+        list(model.parameters()) + [wloss_p], lr=5e-3, weight_decay=5e-3
+    )
+    sched = warmup_cosine_schedule(5e-3, total_steps=total_steps)
+
+    def masked_ce(logits, labels, mask):
+        lw = torch.from_numpy(mask.astype(np.float32))
+        ls = torch.nn.functional.cross_entropy(
+            logits, labels, label_smoothing=0.1, reduction="none"
+        )
+        return (ls * lw).sum() / lw.sum().clamp(min=1.0)
+
+    step_i = 0
+    for epoch in range(EPOCHS):
+        ep_loss, nb = 0.0, 0
+        for batch in dm.train_batches("all", steps_per_epoch):
+            x, ps, ks, edges, labels, base, _ = _unpack(batch, tasks)
+            for g in optim.param_groups:
+                g["lr"] = float(sched(step_i))
+            optim.zero_grad()
+            logits = model(x, ps, ks, edges)
+            total = 0.0
+            for ti, (t, _c) in enumerate(tasks):
+                if t not in labels:
+                    continue
+                mask = base.copy()
+                mattr = TASK_MASK_ATTRS.get(t)
+                if mattr and mattr in batch.node_attrs[NOTE]:
+                    m = np.asarray(batch.node_attrs[NOTE][mattr])[: len(mask)]
+                    mask &= m.astype(bool)
+                l_t = masked_ce(logits[t], labels[t], mask)
+                p = wloss_p[ti]
+                total = total + 0.5 / p.pow(2) * l_t + torch.log1p(p.pow(2))
+            total.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+            optim.step()
+            ep_loss += float(total)
+            nb += 1
+            step_i += 1
+        print(f"epoch {epoch}: loss {ep_loss / max(nb, 1):.4f}")
+
+    # --- evaluation with the SAME metric code as the JAX framework ---
+    import jax.numpy as jnp
+
+    from analysisgnn_tpu.train.metrics import (
+        NCT_RNA_KEYS,
+        RNA_KEYS,
+        accumulate_weighted,
+        f1_stats,
+        finalize_weighted,
+        masked_accuracy,
+        nct_rna_accuracy,
+        onsetwise_rna_accuracy,
+    )
+
+    acc: dict = {}
+    model.eval()
+    with torch.no_grad():
+        for batch in dm.test_batches("all"):
+            x, ps, ks, edges, labels, base, nvalid = _unpack(batch, tasks)
+            logits = model(x, ps, ks, edges)
+            jl = {t: jnp.asarray(v.numpy()) for t, v in logits.items()}
+            jlabels = {t: jnp.asarray(v.numpy()) for t, v in labels.items()}
+            out = {}
+            base_j = jnp.asarray(base)
+            attrs = batch.node_attrs[NOTE]
+            task_w = {}
+            for t, c in tasks:
+                if t not in jlabels:
+                    continue
+                w = base.copy()
+                mattr = TASK_MASK_ATTRS.get(t)
+                if mattr and mattr in attrs:
+                    w &= np.asarray(attrs[mattr])[:nvalid].astype(bool)
+                task_w[t] = jnp.asarray(w)
+                out[f"{t}_acc"] = masked_accuracy(jl[t], jlabels[t], task_w[t])
+                out[f"{t}_acc__w"] = task_w[t].sum().astype(jnp.float32)
+                out[f"{t}_f1_stats"] = f1_stats(jl[t], jlabels[t], task_w[t], c)
+            if all(k in jl for k in RNA_KEYS):
+                onset_key = "note__onset__note"
+                ne = int(np.asarray(batch.num_edges[onset_key]))
+                onset = jnp.asarray(
+                    np.asarray(batch.edge_index[onset_key])[:, :ne].astype(np.int32)
+                )
+                a, w = onsetwise_rna_accuracy(
+                    jl, jlabels, onset,
+                    jnp.asarray(np.asarray(attrs["onset_div"])[:nvalid]),
+                    jnp.asarray(np.asarray(batch.batch[NOTE])[:nvalid]),
+                    base_j, with_weight=True,
+                )
+                out["rna_onset_acc"] = a
+                out["rna_onset_acc__w"] = w
+            if all(k in jl for k in NCT_RNA_KEYS) and "tpc_in_label" in jl:
+                a, w = nct_rna_accuracy(jl, jlabels, base_j, with_weight=True)
+                out["rna_nct_acc"] = a
+                out["rna_nct_acc__w"] = w
+            accumulate_weighted(acc, out)
+    metrics = {f"all/{k}": v for k, v in finalize_weighted(acc).items()}
+    out = {
+        "framework": "torch-cpu reference-equivalent",
+        "epochs": EPOCHS,
+        "metrics": metrics,
+    }
+    with open(os.path.join(ROOT, "results_torch.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    {"gen": stage_gen, "jax": stage_jax, "torch": stage_torch}[sys.argv[1]]()
