@@ -176,7 +176,19 @@ def parse_musicxml(path_or_root) -> ParsedScore:
 
     if not notes:
         raise ValueError("score contains no pitched notes")
+    return assemble_note_array(notes, ts_changes, ks_changes, measure_starts, measure_ends)
 
+
+def assemble_note_array(
+    notes: List[_RawNote],
+    ts_changes: List[Tuple[Fraction, int, int]],
+    ks_changes: List[Tuple[Fraction, int, int]],
+    measure_starts: List[Fraction],
+    measure_ends: List[Fraction],
+) -> ParsedScore:
+    """Quantize parsed notes (quarter-note Fractions) onto a global div grid
+    and build the framework note array + measure spans.  Shared by the
+    MusicXML and kern (data/kern.py) front-ends."""
     # ---- quantize onto a global div grid ----
     denoms = {n.onset.denominator for n in notes} | {n.duration.denominator for n in notes}
     denoms |= {m.denominator for m in measure_starts} | {m.denominator for m in measure_ends}
@@ -225,5 +237,10 @@ def parse_musicxml(path_or_root) -> ParsedScore:
 
 
 def load_score(path: str) -> ParsedScore:
-    """Parse a (possibly compressed) MusicXML file."""
+    """Parse a score file: (compressed) MusicXML, or Humdrum kern when the
+    path ends in ``.krn`` (reference dispatch, data/data_utils.py:178-183)."""
+    if path.endswith(".krn"):
+        from analysisgnn_tpu.data.kern import parse_kern
+
+        return parse_kern(path)
     return parse_musicxml(path)
