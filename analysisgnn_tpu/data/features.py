@@ -334,6 +334,21 @@ def cadence_feature_set(note_array: np.ndarray) -> np.ndarray:
     return np.hstack([v, c]).astype(np.float32)
 
 
+def panalysis_features(note_array: np.ndarray) -> np.ndarray:
+    """The "panalysis" block (reference get_panalysis_features,
+    note_features.py:312-333): tanh-bar-normalized duration, pitch-class and
+    octave one-hots, raw voice number, downbeat flag — 25 dims."""
+    dur = np.asarray(note_array["duration_beat"], np.float64)
+    ts = np.asarray(note_array["ts_beats"], np.float64)
+    pitch = np.asarray(note_array["pitch"], np.int64)
+    duration_feature = (1.0 - np.tanh(dur / ts))[:, None]
+    voice = np.asarray(note_array["voice"], np.float64)[:, None]
+    downbeat = np.asarray(note_array["is_downbeat"], np.float64)[:, None]
+    return np.hstack(
+        [duration_feature, pc_one_hot(pitch), octave_one_hot(pitch), voice, downbeat]
+    ).astype(np.float32)
+
+
 def select_features(note_array: np.ndarray, features: str = "voice") -> np.ndarray:
     """Dispatch mirroring reference ``select_features``
     (descriptors/general.py:128-139)."""
@@ -341,6 +356,8 @@ def select_features(note_array: np.ndarray, features: str = "voice") -> np.ndarr
         return voice_features(note_array)
     if features == "cadence":
         return cadence_feature_set(note_array)
+    if features == "panalysis":
+        return panalysis_features(note_array)
     if features == "chord":
         v = voice_features(note_array)
         c, _ = chord_context_features(note_array)
