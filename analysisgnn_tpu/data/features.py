@@ -325,6 +325,20 @@ def cadence_descriptors(note_array: np.ndarray) -> np.ndarray:
     return out
 
 
+def cadence_descriptors_spelled(note_array: np.ndarray) -> np.ndarray:
+    """Cadence descriptors + the 35-class tonal-pitch-class one-hot appendix
+    (reference ``get_cad_features(include_pitch_spelling=True)``,
+    cadence_features.py:107-118) — 31 + 35 = 66 dims."""
+    from analysisgnn_tpu.theory.encoders import PitchEncoder
+
+    base = cadence_descriptors(note_array)
+    enc = PitchEncoder()
+    ids = enc.encode(note_array)
+    one_hot = np.zeros((len(note_array), enc.encode_dim), np.float32)
+    one_hot[np.arange(len(note_array)), ids] = 1.0
+    return np.hstack([base, one_hot]).astype(np.float32)
+
+
 def cadence_feature_set(note_array: np.ndarray) -> np.ndarray:
     """"cadence" input features = voice block (25) + the 31 hand-crafted
     cadence descriptors (reference descriptors/general.py:110-125 stacks
