@@ -39,6 +39,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, default="HybridGNN",
                    choices=["HybridGNN", "HGT", "MetricalGNN"])
     p.add_argument("--use_jk", action="store_true")
+    p.add_argument("--final_norm", action="store_true",
+                   help="ReLU+L2-normalize the final conv output (HybridGNN);"
+                        " stabilizes the multi-task recipe at lr=5e-3")
     p.add_argument("--tags", type=str, default="", help="wandb run tags")
     p.add_argument("--homogeneous", action="store_true",
                    help="accepted for parity (hetero path is always used)")
@@ -201,6 +204,7 @@ def main(argv=None) -> None:
         weight_decay=config["weight_decay"],
         model=config["model"],
         use_jk=config.get("use_jk", True),
+        final_norm=config.get("final_norm", False),
         logit_fusion=config.get("logit_fusion", False),
         mt_strategy=config.get("mt_strategy", "wloss"),
         lambda_dctn=config.get("lambda_dctn", 0.5),
@@ -235,6 +239,7 @@ def main(argv=None) -> None:
                 "dropout": tc.dropout,
                 "model": tc.model,
                 "use_jk": tc.use_jk,
+                "final_norm": tc.final_norm,
                 "logit_fusion": tc.logit_fusion,
                 "add_beats": tc.add_beats,
                 "add_measures": tc.add_measures,

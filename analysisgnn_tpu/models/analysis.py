@@ -63,6 +63,11 @@ class AnalysisGNN(nn.Module):
     use_rnn: bool = False
     encoder_type: str = "hybridgnn"
     use_edge_decoder: bool = False
+    # Bound the encoder output with ReLU→L2-norm after the final conv
+    # (HybridGNN only).  The reference HGCN leaves the last layer raw
+    # (core/hgnn.py:178-179), which is measurably unstable in the
+    # multi-task recipe at the reference lr — see encoders.HybridGNN.
+    final_norm: bool = False
 
     def setup(self):
         node_types, edge_types = self.metadata
@@ -76,6 +81,9 @@ class AnalysisGNN(nn.Module):
             for t in node_types
         }
         enc_cls = ENCODERS[self.encoder_type.lower()]
+        enc_kwargs = {}
+        if self.final_norm and self.encoder_type.lower() == "hybridgnn":
+            enc_kwargs["final_norm"] = True
         self.encoder = enc_cls(
             hidden=self.hidden_channels,
             num_layers=self.num_layers,
@@ -83,6 +91,7 @@ class AnalysisGNN(nn.Module):
             use_jk=self.use_jk,
             edge_types=tuple(edge_types),
             name="encoder",
+            **enc_kwargs,
         )
         self.project_enc = EncoderProjection(
             self.hidden_channels, self.out_channels, self.dropout, name="project_enc"

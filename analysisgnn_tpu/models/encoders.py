@@ -51,6 +51,13 @@ class HybridGNN(nn.Module):
     dropout: float = 0.0
     use_jk: bool = True
     edge_types: Tuple[EdgeType, ...] = ()
+    # Apply ReLU → L2-norm to the FINAL conv output too.  The reference HGCN
+    # leaves the last layer raw (core/hgnn.py:178-179), but the raw output
+    # has unbounded scale, which measurably destabilizes the multi-task
+    # recipe at the reference lr=5e-3 (scripts/variant_sweep.py arm
+    # "fnorm"): bounding the encoder output is what lets the full recipe
+    # train at the reference hyperparameters.
+    final_norm: bool = False
 
     @nn.compact
     def __call__(
@@ -79,6 +86,8 @@ class HybridGNN(nn.Module):
         out = HeteroConv(self.hidden, self.edge_types, name="final")(
             h, edge_index_dict
         )
+        if self.final_norm:
+            return l2_normalize(nn.relu(out[NOTE]))
         return out[NOTE]
 
 

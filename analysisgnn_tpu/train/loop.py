@@ -66,6 +66,10 @@ class TrainConfig:
     use_jk: bool = True
     logit_fusion: bool = False
     use_rnn: bool = False
+    # ReLU→L2-norm after the FINAL conv (HybridGNN): bounds the encoder
+    # output, which is what lets the multi-task recipe train stably at the
+    # reference lr=5e-3 (scripts/variant_sweep.py arm "fnorm").
+    final_norm: bool = False
     mt_strategy: str = "wloss"
     lambda_dctn: float = 0.5
     lambda_featl: float = 0.1
@@ -109,6 +113,7 @@ class Trainer:
             use_rnn=config.use_rnn,
             encoder_type=config.model.lower(),
             use_edge_decoder=config.use_edge_loss,
+            final_norm=config.final_norm,
         )
         self.history: List[Dict] = []
         self.best_val = float("inf")

@@ -190,8 +190,12 @@ def compute_losses(
         mask_vec = jnp.asarray([t in task_losses for t in task_order])
         total, _ = famo_weighted_loss(famo_state, loss_vec, mask_vec)
     else:
+        # NOTE: the reference sums the weighted task losses WITHOUT dividing
+        # by the task count (MultiTaskLoss, models/chord.py:39-49) and relies
+        # on gradient clipping at 1.0 — keep that scaling exactly (dividing
+        # here pushed the gradient norm under the clip threshold and changed
+        # the optimization dynamics measurably; scripts/variant_sweep.py).
         total = multi_task_loss(task_losses, mt_params, task_order, cfg.mt_strategy)
-        total = total / max(len(task_losses), 1)
 
     # edge-consistency loss (reference :986-1019): binary per-edge labels,
     # true when ALL RNA labels agree between endpoints

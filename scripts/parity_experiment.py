@@ -65,13 +65,20 @@ def _cli_args(checkpoint_dir: str):
     ]
 
 
-def stage_jax() -> None:
+def stage_jax(extra: list = (), out_name: str = "results_jax.json",
+              ckpt_name: str = "checkpoints_parity") -> None:
+    """Train+eval on the chip.  ``extra`` appends/overrides CLI flags so
+    recipe arms can be launched as e.g.::
+
+        python scripts/parity_experiment.py jax results_jax_fnorm.json \
+            ckpt_fnorm --final_norm --dropout 0.0
+    """
     import contextlib
     import io
 
     from analysisgnn_tpu.cli.train import main
 
-    ckpt = os.path.join(ROOT, "checkpoints_parity")
+    ckpt = os.path.join(ROOT, ckpt_name)
     buf = io.StringIO()
 
     class Tee(io.TextIOBase):
@@ -81,7 +88,7 @@ def stage_jax() -> None:
             return len(s)
 
     with contextlib.redirect_stdout(Tee()):
-        main(_cli_args(ckpt))
+        main(_cli_args(ckpt) + list(extra))
     # the --do_eval metric dict is the final top-level JSON object on stdout
     text = buf.getvalue()
     metrics = None
@@ -96,8 +103,13 @@ def stage_jax() -> None:
             if depth == 0:
                 metrics = json.loads(text[i:end])
                 break
-    out = {"framework": "analysisgnn_tpu", "epochs": EPOCHS, "metrics": metrics}
-    with open(os.path.join(ROOT, "results_jax.json"), "w") as f:
+    out = {
+        "framework": "analysisgnn_tpu",
+        "epochs": EPOCHS,
+        "extra_flags": list(extra),
+        "metrics": metrics,
+    }
+    with open(os.path.join(ROOT, out_name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
@@ -292,4 +304,7 @@ def stage_torch() -> None:
 
 
 if __name__ == "__main__":
-    {"gen": stage_gen, "jax": stage_jax, "torch": stage_torch}[sys.argv[1]]()
+    if sys.argv[1] == "jax" and len(sys.argv) > 2:
+        stage_jax(sys.argv[4:], out_name=sys.argv[2], ckpt_name=sys.argv[3])
+    else:
+        {"gen": stage_gen, "jax": stage_jax, "torch": stage_torch}[sys.argv[1]]()

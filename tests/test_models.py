@@ -153,3 +153,43 @@ def test_analysis_gnn_jit_and_grad():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_hybridgnn_final_norm_bounds_output():
+    """`final_norm=True` must ReLU+L2-normalize the final conv output —
+    the stabilizer that lets the multi-task recipe train at the reference
+    lr=5e-3 (scripts/variant_sweep.py arm "fnorm")."""
+    graph = build_inputs(num_notes=40, with_metrical=False)
+    _, edges = metadata(False, False)
+    enc = HybridGNN(
+        hidden=32, num_layers=2, use_jk=True, edge_types=edges, final_norm=True
+    )
+    x_dict = {t: graph.node_features[t] for t in graph.node_features}
+    ei = graph.edge_index_dict()
+    params = enc.init(jax.random.PRNGKey(0), x_dict, ei, graph.batch)
+    out = np.asarray(enc.apply(params, x_dict, ei, graph.batch))
+    assert (out >= 0).all()
+    norms = np.linalg.norm(out, axis=-1)
+    assert ((norms < 1.0 + 1e-4) & ((norms > 0.99) | (norms < 1e-6))).all()
+
+
+def test_analysis_gnn_final_norm_flag_roundtrip(tmp_path):
+    """final_norm flows CLI -> TrainConfig -> model_config.json -> predict's
+    model reconstruction."""
+    from analysisgnn_tpu.cli.train import get_parser
+    from analysisgnn_tpu.train.loop import TrainConfig
+
+    args = get_parser().parse_args(["--final_norm"])
+    assert args.final_norm is True
+    tc = TrainConfig(final_norm=True)
+    model = AnalysisGNN(
+        metadata=metadata(False, False),
+        in_channels=25,
+        hidden_channels=32,
+        out_channels=16,
+        task_dict=TASKS,
+        num_layers=2,
+        encoder_type="hybridgnn",
+        final_norm=tc.final_norm,
+    )
+    assert model.final_norm is True
