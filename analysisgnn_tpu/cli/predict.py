@@ -1,10 +1,9 @@
 """``analysisgnn-tpu-predict`` — score-analysis inference CLI.
 
 Parity with the reference ``analysisgnn-predict`` (analysisgnn/inference/
-predict_analysis.py): resolve a checkpoint, parse a MusicXML score, run the
-model, decode labels, export CSV and optionally a Roman-numeral MusicXML.
-(W&B artifact resolution is replaced by local checkpoint paths — this build
-is network-free.)
+predict_analysis.py): resolve a checkpoint (local dir → artifact cache →
+W&B artifact download, :79-125), parse a MusicXML score, run the model,
+decode labels, export CSV and optionally a Roman-numeral MusicXML.
 """
 
 from __future__ import annotations
@@ -14,12 +13,87 @@ import json
 import os
 
 
+def resolve_checkpoint(checkpoint_dir: str, tag: str,
+                       artifacts_dir: str = "./artifacts/models") -> str:
+    """Resolve a checkpoint directory the way the reference resolves its
+    ``.ckpt`` (inference/predict_analysis.py:79-125): prefer the local
+    path, then any previously-downloaded copy under ``artifacts_dir``,
+    then — if ``checkpoint_dir`` looks like a W&B artifact reference
+    (``entity/project/name:version``) — download it via the wandb API.
+
+    Checkpoints here are Orbax directories (containing ``_METADATA``) plus
+    a sibling ``model_config.json``, so the cache scan looks for directory
+    entries rather than ``.ckpt`` files.
+    """
+    local = os.path.join(checkpoint_dir, tag)
+    if os.path.isdir(local):
+        return checkpoint_dir
+
+    def _is_ckpt_root(d: str) -> bool:
+        return os.path.isfile(os.path.join(d, "model_config.json")) and (
+            os.path.isdir(os.path.join(d, tag))
+        )
+
+    # cached artifact scan (reference :86-105)
+    if os.path.isdir(artifacts_dir):
+        if _is_ckpt_root(artifacts_dir):
+            print(f"Using cached checkpoint: {artifacts_dir}")
+            return artifacts_dir
+        for fname in sorted(os.listdir(artifacts_dir)):
+            cand = os.path.join(artifacts_dir, fname)
+            if os.path.isdir(cand) and _is_ckpt_root(cand):
+                print(f"Using cached checkpoint: {cand}")
+                return cand
+
+    # W&B artifact reference, e.g. "melkisedeath/AnalysisGNN/model-xyz:v3"
+    # (reference :107-125); requires network + wandb login.  Filesystem
+    # paths never qualify: artifact ids are relative and carry a :version.
+    looks_like_artifact = (
+        not os.path.isabs(checkpoint_dir)
+        and ":" in os.path.basename(checkpoint_dir)
+        and checkpoint_dir.count("/") >= 2
+    )
+    if looks_like_artifact:
+        try:
+            import wandb  # noqa: F401  (not baked in: optional)
+        except ImportError as e:
+            raise ImportError(
+                "wandb package is required to download artifacts; "
+                f"no local checkpoint at {local} and no cached copy in "
+                f"{artifacts_dir}"
+            ) from e
+        os.makedirs(artifacts_dir, exist_ok=True)
+        print(f"Downloading checkpoint from W&B: {checkpoint_dir}")
+        run = wandb.init()
+        artifact = run.use_artifact(checkpoint_dir, type="model")
+        art_dir = artifact.download(root=artifacts_dir)
+        wandb.finish()
+        if _is_ckpt_root(art_dir):
+            return art_dir
+        for fname in sorted(os.listdir(art_dir)):
+            cand = os.path.join(art_dir, fname)
+            if os.path.isdir(cand) and _is_ckpt_root(cand):
+                return cand
+        raise FileNotFoundError(
+            f"W&B artifact {checkpoint_dir} contains no Orbax checkpoint "
+            f"with tag {tag!r}"
+        )
+    raise FileNotFoundError(
+        f"no checkpoint {tag!r} under {checkpoint_dir} and no cached copy "
+        f"in {artifacts_dir}"
+    )
+
+
 def get_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Predict analysis for a score")
     p.add_argument("--score", type=str, required=True, help="MusicXML/.mxl path")
-    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints",
+                   help="local checkpoint dir OR W&B artifact id "
+                        "(entity/project/name:version)")
     p.add_argument("--checkpoint", type=str, default="best",
                    help="checkpoint tag inside checkpoint_dir (best/last/<task>_model)")
+    p.add_argument("--artifacts_dir", type=str, default="./artifacts/models",
+                   help="cache dir for downloaded checkpoints")
     p.add_argument("--tasks", type=str, default=None, help="comma list; default all")
     p.add_argument("--output_csv", type=str, default=None)
     p.add_argument("--output_musicxml", type=str, default=None,
@@ -47,6 +121,7 @@ def load_model_and_params(checkpoint_dir: str, tag: str):
         num_layers=cfg["num_layers"],
         dropout=cfg.get("dropout", 0.3),
         use_jk=cfg.get("use_jk", True),
+        final_norm=cfg.get("final_norm", False),
         logit_fusion=cfg.get("logit_fusion", False),
         encoder_type=cfg.get("model", "HybridGNN").lower(),
     )
@@ -85,7 +160,10 @@ def main(argv=None) -> None:
         predict_score,
     )
 
-    model, params, cfg = load_model_and_params(args.checkpoint_dir, args.checkpoint)
+    ckpt_dir = resolve_checkpoint(
+        args.checkpoint_dir, args.checkpoint, args.artifacts_dir
+    )
+    model, params, cfg = load_model_and_params(ckpt_dir, args.checkpoint)
     parsed = load_score(args.score)
     tasks = args.tasks.split(",") if args.tasks else None
     probs = predict_score(

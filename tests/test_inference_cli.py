@@ -143,3 +143,34 @@ def test_smote_shapes_and_penalty():
     assert (np.asarray(ys) == 1).all()
     pen = smote_feature_penalty(xs, ws, x, y, ys, w)
     assert np.isfinite(float(pen))
+
+
+def test_resolve_checkpoint_chain(tmp_path):
+    """Reference resolution chain (predict_analysis.py:79-125): local dir
+    first, then the artifacts cache, then a clear error for W&B ids
+    without wandb/network."""
+    import pytest
+
+    from analysisgnn_tpu.cli.predict import resolve_checkpoint
+
+    # 1. local hit
+    local = tmp_path / "ckpt"
+    (local / "best").mkdir(parents=True)
+    assert resolve_checkpoint(str(local), "best") == str(local)
+
+    # 2. cache scan: missing local dir falls back to a cached artifact
+    cache = tmp_path / "artifacts" / "models"
+    art = cache / "model-abc:v3"
+    (art / "best").mkdir(parents=True)
+    (art / "model_config.json").write_text("{}")
+    got = resolve_checkpoint(str(tmp_path / "nope"), "best", str(cache))
+    assert got == str(art)
+
+    # 3. W&B id with no cached copy -> ImportError (wandb not installed)
+    #    or FileNotFoundError for plain paths
+    with pytest.raises((ImportError, FileNotFoundError)):
+        resolve_checkpoint("entity/project/model-x:v1", "best",
+                           str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint(str(tmp_path / "nope2"), "best",
+                           str(tmp_path / "empty"))
