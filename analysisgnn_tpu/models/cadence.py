@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from analysisgnn_tpu.core.graph import EdgeType, NOTE
 from analysisgnn_tpu.kernels.segment_ops import segment_mean_with_base
 from analysisgnn_tpu.models.encoders import HybridGNN, MetricalGNN
-from analysisgnn_tpu.models.mlp import HeadMLP
+from analysisgnn_tpu.models.hetero import HeteroConv
+from analysisgnn_tpu.models.mlp import HeadMLP, ProjectionMLP
 from analysisgnn_tpu.models.rnn import BiResetGRU, segment_starts
 
 
@@ -74,3 +75,137 @@ class CadenceGNN(nn.Module):
         if return_embedding:
             return logits, z
         return logits
+
+
+class CadenceHead(nn.Module):
+    """Cadence classifier head: Linear → ReLU → norm → Dropout → Linear
+    (reference ``cad_clf``, models/cadence.py:193-199/268-274 — its
+    BatchNorm1d is replaced by LayerNorm: identical shape, jit-pure, no
+    mutable batch statistics to thread through the train state)."""
+
+    hidden: int
+    num_classes: int
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(self.hidden // 2)(x)
+        x = nn.relu(x)
+        x = nn.LayerNorm()(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return nn.Dense(self.num_classes)(x)
+
+
+class HierarchicalHeteroSage(nn.Module):
+    """Hetero-SAGE stack with SUM aggregation over edge types, ReLU between
+    layers, final Linear (reference ``HierarchicalHeteroGraphSage``,
+    models/cadence.py:140-174).
+
+    The reference trims nodes/edges per layer (``trim_to_layer``) because its
+    neighbor loader over-samples; the static-shape sampler here pads instead,
+    so every layer runs the full padded buffer under masks — same math,
+    shape-stable under jit.
+    """
+
+    hidden: int
+    out: int
+    num_layers: int
+    edge_types: Tuple[EdgeType, ...] = ()
+
+    @nn.compact
+    def __call__(
+        self,
+        x_dict: Dict[str, jax.Array],
+        edge_index_dict: Dict[EdgeType, jax.Array],
+    ) -> jax.Array:
+        h = x_dict
+        for i in range(self.num_layers):
+            h = HeteroConv(
+                self.hidden, self.edge_types, aggr="sum", name=f"conv_{i}"
+            )(h, edge_index_dict)
+            h = {k: nn.relu(v) for k, v in h.items()}
+        return nn.Dense(self.out, name="lin")(h[NOTE])
+
+
+class CadenceGNNNeighbor(nn.Module):
+    """Neighbor-sampled cadence model (reference ``CadenceGNNNeighbor``,
+    models/cadence.py:177-227): hierarchical hetero-SAGE → onset pooling
+    with ``out=x.clone()`` scatter-mean semantics → LayerNorm → pool MLP →
+    cadence head.  ``encode``/``clf`` mirror the reference's two-phase API so
+    the SMOTE training wrapper can oversample in embedding space.
+    """
+
+    hidden: int
+    num_classes: int = 5
+    num_layers: int = 2
+    dropout: float = 0.5
+    edge_types: Tuple[EdgeType, ...] = ()
+
+    def setup(self):
+        self.gnn = HierarchicalHeteroSage(
+            hidden=self.hidden,
+            out=self.hidden // 2,
+            num_layers=self.num_layers,
+            edge_types=self.edge_types,
+            name="gnn",
+        )
+        half = self.hidden // 2
+        self.norm = nn.LayerNorm(name="norm")
+        self.pool_mlp = ProjectionMLP(half, half, self.dropout, name="pool_mlp")
+        self.cad_clf = CadenceHead(half, self.num_classes, self.dropout, name="cad_clf")
+
+    def encode(
+        self,
+        x_dict: Dict[str, jax.Array],
+        edge_index_dict: Dict[EdgeType, jax.Array],
+        deterministic: bool = True,
+    ) -> jax.Array:
+        x = self.gnn(x_dict, edge_index_dict)
+        onset = edge_index_dict[(NOTE, "onset", NOTE)]
+        msgs = x[jnp.minimum(onset[0], x.shape[0] - 1)]
+        x = segment_mean_with_base(msgs, onset[1], base=x)
+        x = self.norm(x)
+        return self.pool_mlp(x, deterministic=deterministic)
+
+    def clf(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        return self.cad_clf(x, deterministic=deterministic)
+
+    def __call__(
+        self,
+        x_dict: Dict[str, jax.Array],
+        edge_index_dict: Dict[EdgeType, jax.Array],
+        deterministic: bool = True,
+    ) -> jax.Array:
+        x = self.encode(x_dict, edge_index_dict, deterministic=deterministic)
+        return self.clf(x, deterministic=deterministic)
+
+
+class CadenceAssisted(nn.Module):
+    """Cadence head on top of a (possibly frozen) pre-trained encoder
+    (reference ``CadenceAssistedPLModel``, models/cadence.py:564-607).
+
+    Takes ``[N, encoder_dim]`` embeddings produced by a pre-trained encoder
+    (typically ``AnalysisGNN.encode``, applied by the training wrapper).
+    ``linear_probing=True`` reproduces the reference's ``freeze_encoder``
+    with ``stop_gradient`` (the functional equivalent of
+    ``requires_grad=False``).
+    """
+
+    encoder_dim: int
+    hidden: int
+    num_classes: int = 5
+    dropout: float = 0.5
+    linear_probing: bool = False
+
+    def setup(self):
+        half = self.hidden // 2
+        self.proj = nn.Dense(half, name="proj")
+        self.cad_clf = CadenceHead(half, self.num_classes, self.dropout, name="cad_clf")
+
+    def head(self, emb: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.linear_probing:
+            emb = jax.lax.stop_gradient(emb)
+        return self.cad_clf(nn.relu(self.proj(emb)), deterministic=deterministic)
+
+    def __call__(self, emb: jax.Array, deterministic: bool = True) -> jax.Array:
+        return self.head(emb, deterministic=deterministic)

@@ -41,6 +41,11 @@ class HeteroConv(nn.Module):
     # kernels but computes every relation over every node — measured slower
     # on current hardware than per-type fusion, so off by default.
     unify_all: bool = False
+    # Per-node-type reduction over edge-type contributions.  The unified
+    # model stack mean-reduces (PyG HeteroConv default); the cadence
+    # HierarchicalHeteroGraphSage uses aggr='sum' (reference models/
+    # cadence.py:144-156).
+    aggr: str = "mean"
 
     @nn.compact
     def __call__(
@@ -79,7 +84,8 @@ class HeteroConv(nn.Module):
                 idxs = [i for i, et in enumerate(present) if et[0] == t]
                 off, size = slices[t]
                 if idxs:
-                    result[t] = out[jnp.asarray(idxs), off : off + size].mean(0)
+                    sel = out[jnp.asarray(idxs), off : off + size]
+                    result[t] = sel.sum(0) if self.aggr == "sum" else sel.mean(0)
                 else:
                     result[t] = nn.Dense(self.out_features, name=f"self_{t}")(
                         x_dict[t]
@@ -108,10 +114,11 @@ class HeteroConv(nn.Module):
             conv = self.conv_cls(self.out_features, name=name)
             out = conv(x_dict[src_t], edge_index_dict[et], x_dict[dst_t])
             contributions[src_t].append(out)
+        reduce = jnp.sum if self.aggr == "sum" else jnp.mean
         result: Dict[str, jax.Array] = {}
         for t, outs in contributions.items():
             if outs:
-                result[t] = jnp.mean(jnp.stack(outs, axis=0), axis=0)
+                result[t] = reduce(jnp.stack(outs, axis=0), axis=0)
             else:
                 result[t] = nn.Dense(self.out_features, name=f"self_{t}")(x_dict[t])
         return result

@@ -90,6 +90,79 @@ def test_cadence_gnn():
     assert logits.shape == (graph.capacity(NOTE), 4)
 
 
+def test_cadence_gnn_neighbor_and_train_step():
+    """CadenceGNNNeighbor forward + one SMOTE train step (reference
+    CadenceNeighborPLModel training_step, models/cadence.py:478-533):
+    loss finite, params move, jit-stable."""
+    import optax
+
+    from analysisgnn_tpu.models.cadence import CadenceGNNNeighbor
+    from analysisgnn_tpu.train.cadence import (
+        CadenceStepConfig,
+        cadence_val_loss,
+        make_cadence_train_step,
+        multistep_lr,
+    )
+
+    graph = build_inputs(num_notes=40, with_metrical=False)
+    nodes, edges = metadata(False, False)
+    model = CadenceGNNNeighbor(hidden=16, num_classes=5, num_layers=2,
+                               edge_types=edges, dropout=0.0)
+    x_dict, ei = graph.x_dict(), graph.edge_index_dict()
+    params = model.init(jax.random.PRNGKey(0), x_dict, ei)
+    logits = model.apply(params, x_dict, ei)
+    assert logits.shape == (graph.capacity(NOTE), 5)
+
+    n = graph.capacity(NOTE)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.integers(0, 5, size=n), jnp.int32)
+    w = jnp.asarray(graph.node_mask(NOTE))
+    sched = multistep_lr(1e-3, steps_per_epoch=2)
+    opt = optax.adam(sched)
+    step = make_cadence_train_step(
+        model, opt, CadenceStepConfig(num_synthetic=16, smote_k=2)
+    )
+    opt_state = opt.init(params)
+    p1, _, loss, aux = step(
+        params, opt_state, x_dict, ei, y, w.astype(jnp.float32),
+        jax.random.PRNGKey(1), 0,
+    )
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(aux["clf_loss"]))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).sum()), params, p1
+    )
+    assert sum(jax.tree_util.tree_leaves(moved)) > 0
+    # inverse-class-frequency weighted val CE
+    vl = cadence_val_loss(logits, y, w, 5)
+    assert np.isfinite(float(vl))
+    # MultiStepLR drops by gamma at each epoch milestone
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(20)) == pytest.approx(2e-4)
+
+
+def test_cadence_assisted_linear_probe_freezes_encoder():
+    """CadenceAssisted with linear_probing must stop gradients into the
+    embedding input (reference freeze_encoder, models/cadence.py:570-575)."""
+    from analysisgnn_tpu.models.cadence import CadenceAssisted
+
+    emb = jnp.asarray(np.random.default_rng(0).normal(size=(10, 24)), jnp.float32)
+    model = CadenceAssisted(encoder_dim=24, hidden=16, linear_probing=True,
+                            dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), emb)
+
+    def loss_wrt_emb(e):
+        return model.apply(params, e).sum()
+
+    g = jax.grad(loss_wrt_emb)(emb)
+    assert float(jnp.abs(g).sum()) == 0.0
+    model2 = CadenceAssisted(encoder_dim=24, hidden=16, linear_probing=False,
+                             dropout=0.0)
+    params2 = model2.init(jax.random.PRNGKey(0), emb)
+    g2 = jax.grad(lambda e: model2.apply(params2, e).sum())(emb)
+    assert float(jnp.abs(g2).sum()) > 0.0
+
+
 def test_isin_pairwise_and_truth_edges():
     elem = jnp.asarray([[0, 1, 2], [1, 2, 3]])
     test = jnp.asarray([[0, 9], [1, 9]])
