@@ -172,12 +172,28 @@ def build_datamodule(config: Dict):
             sub = os.path.join(raw, mt)
             if not os.path.isdir(sub):
                 continue
-            has_tsv = any(f.endswith(".tsv") for _, _, fs in os.walk(sub) for f in fs)
-            corpus = (
-                DLCTsvCorpus(ccfg, sub, test_names=test_names, dlc=(mt != "rna"))
-                if has_tsv
-                else MusicXMLCorpus(ccfg, sub)
-            )
+            tsvs = [
+                os.path.join(r, f)
+                for r, _, fs in os.walk(sub)
+                for f in fs
+                if f.endswith(".tsv")
+            ]
+            if not tsvs:
+                corpus = MusicXMLCorpus(ccfg, sub)
+            elif any(
+                os.path.isdir(os.path.join(sub, d)) for d in ("training", "validation")
+            ) and any(f.endswith("joint.tsv") for f in tsvs):
+                # AN v1.0.0 layout: {training,test,validation}/*joint.tsv
+                from analysisgnn_tpu.data.time_divided import ANJointTsvCorpus
+
+                corpus = ANJointTsvCorpus(ccfg, sub)
+            elif "s_notes" in open(tsvs[0]).readline():
+                # legacy time-divided slices (one row per 1/8th-note frame)
+                from analysisgnn_tpu.data.time_divided import TimeDividedTsvCorpus
+
+                corpus = TimeDividedTsvCorpus(ccfg, sub)
+            else:
+                corpus = DLCTsvCorpus(ccfg, sub, test_names=test_names, dlc=(mt != "rna"))
             task_samples[mt] = corpus.load().samples
     dm_cfg = DataModuleConfig(
         subgraph_size=config.get("subgraph_size", 500),

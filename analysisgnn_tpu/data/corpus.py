@@ -124,6 +124,7 @@ def save_sample(sample: ScoreSample, path: str) -> None:
         "name": np.array(sample.name),
         "transposition": np.array(sample.transposition),
         "test": np.array(sample.test),
+        "split": np.array(sample.split),
     }
     for t, f in sample.features.items():
         payload[f"feat__{t}"] = f
@@ -152,6 +153,7 @@ def load_sample(path: str) -> ScoreSample:
         name=str(z["name"]),
         transposition=str(z["transposition"]),
         test=bool(z["test"]),
+        split=str(z["split"]) if "split" in z.files else "",
     )
 
 
@@ -224,6 +226,12 @@ class GraphCorpus:
     @property
     def transpositions(self) -> Sequence[str]:
         return CHROMATIC_INTERVALS if self.cfg.transpose else ("P1",)
+
+    def transpositions_for(self, path: str, is_test: bool) -> Sequence[str]:
+        """Per-file augmentation policy: test pieces are never transposed
+        (reference data/datasets/dlc.py:373); subclasses with explicit
+        collections restrict further."""
+        return ("P1",) if is_test else self.transpositions
 
 
 class MusicXMLCorpus(GraphCorpus):
@@ -308,7 +316,7 @@ class DLCTsvCorpus(GraphCorpus):
         na, measures = note_array_from_df(df)
         name = os.path.splitext(os.path.basename(path))[0]
         is_test = name in self.test_names
-        transpositions = ("P1",) if is_test else self.transpositions
+        transpositions = self.transpositions_for(path, is_test)
         label_fn = (
             (lambda iv: create_labels_dlc(df, interval=iv))
             if self.dlc

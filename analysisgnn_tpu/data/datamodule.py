@@ -37,6 +37,16 @@ def train_val_test_split(
     rng = np.random.default_rng(seed)
     n = len(samples)
     idx = np.arange(n)
+    # explicit directory-defined splits win (reference AugmentedNetv100
+    # collections, data/datasets/chord.py:94-103)
+    splits = [getattr(s, "split", "") for s in samples]
+    if any(sp == "validation" for sp in splits):
+        train_idx = [i for i, sp in enumerate(splits) if sp not in ("validation", "test")]
+        if not augment:
+            train_idx = [i for i in train_idx if samples[i].transposition == "P1"]
+        val_idx = [i for i, sp in enumerate(splits) if sp == "validation"]
+        test_idx = [i for i, sp in enumerate(splits) if sp == "test"]
+        return train_idx, val_idx, test_idx
     flags = np.array([s.test for s in samples])
     if random_split or not flags.any():
         perm = rng.permutation(n)

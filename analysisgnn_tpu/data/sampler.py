@@ -41,6 +41,10 @@ class ScoreSample:
     name: str = ""
     transposition: str = "P1"
     test: bool = False
+    # explicit collection membership ("training"/"validation"/"test") for
+    # corpora with directory-defined splits (reference AugmentedNetv100Dataset,
+    # data/datasets/chord.py:94-103); "" = no explicit split
+    split: str = ""
 
     @property
     def num_notes(self) -> int:
