@@ -39,6 +39,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, default="HybridGNN",
                    choices=["HybridGNN", "HGT", "MetricalGNN"])
     p.add_argument("--use_jk", action="store_true")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="Pallas fused aggregation in the HybridGNN conv path "
+                        "(sampler emits src-sorted edges)")
     p.add_argument("--final_norm", action="store_true",
                    help="ReLU+L2-normalize the final conv output (HybridGNN);"
                         " stabilizes the multi-task recipe at lr=5e-3")
@@ -202,6 +205,7 @@ def build_datamodule(config: Dict):
         augment=config.get("use_transpositions", False),
         seed=config.get("seed", 0),
         max_samples=config.get("max_samples"),
+        sort_edges_by_src=config.get("use_pallas", False),
     )
     return AnalysisDataModule(task_samples, dm_cfg).setup()
 
@@ -221,6 +225,7 @@ def main(argv=None) -> None:
         model=config["model"],
         use_jk=config.get("use_jk", True),
         final_norm=config.get("final_norm", False),
+        use_pallas=config.get("use_pallas", False),
         logit_fusion=config.get("logit_fusion", False),
         mt_strategy=config.get("mt_strategy", "wloss"),
         lambda_dctn=config.get("lambda_dctn", 0.5),

@@ -240,8 +240,13 @@ class HeteroGraph:
             if cap < e:
                 raise ValueError(f"capacity {cap} < num edges {e} for {et!r}")
             src_t, _, dst_t = et
-            fill_src = node_features[src_t].shape[0]
-            fill_dst = node_features[dst_t].shape[0]
+            # padding edges point one past the PADDED node array so they are
+            # always detectable (id >= x.shape[0]); gathers clip them onto a
+            # zero padding row, scatters drop them.  (Using the real node
+            # count here would be indistinguishable from a real id whenever
+            # real < capacity.)
+            fill_src = int(node_capacity[src_t]) if node_capacity else node_features[src_t].shape[0]
+            fill_dst = int(node_capacity[dst_t]) if node_capacity else node_features[dst_t].shape[0]
             padded = np.concatenate(
                 [
                     idx,

@@ -77,6 +77,8 @@ class DataModuleConfig:
     seed: int = 0
     max_samples: Optional[int] = None
     eval_subgraph_size: int = 10000
+    # src-sorted edge emission for the Pallas conv path
+    sort_edges_by_src: bool = False
 
 
 class AnalysisDataModule:
@@ -120,6 +122,7 @@ class AnalysisDataModule:
                 batch_size=per_task_bs,
                 num_neighbors=tuple(c.num_neighbors),
                 seed=c.seed,
+                sort_edges_by_src=c.sort_edges_by_src,
             )
             if tr:
                 self._train_samplers[task] = SubgraphSampler(
@@ -135,6 +138,7 @@ class AnalysisDataModule:
                     batch_size=1,
                     num_neighbors=tuple(c.num_neighbors),
                     seed=c.seed,
+                    sort_edges_by_src=c.sort_edges_by_src,
                 )
                 self._test_samplers[task] = SubgraphSampler(
                     [samples[i] for i in te], eval_cfg, shuffle=False

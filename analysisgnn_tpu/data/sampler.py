@@ -84,6 +84,10 @@ class SamplerConfig:
         }
     )
     seed: int = 0
+    # emit each edge type sorted ascending by src id — the order the Pallas
+    # fused-aggregation kernel requires (models/fused.py use_pallas);
+    # padding edges (id = capacity) always sort last
+    sort_edges_by_src: bool = False
 
 
 class SubgraphSampler:
@@ -345,6 +349,12 @@ class SubgraphSampler:
                 edges_cat[et] = ei[:, :cap]
         if overflowed:
             self.overflow_batches += 1
+
+        if cfg.sort_edges_by_src:
+            edges_cat = {
+                et: ei[:, np.argsort(ei[0], kind="stable")]
+                for et, ei in edges_cat.items()
+            }
 
         node_caps = {NOTE: self.note_cap}
         for t in other_types:

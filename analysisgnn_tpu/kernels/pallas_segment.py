@@ -123,6 +123,182 @@ def _segment_sum_kernel(
     out_ref[...] = acc_ref[...]
 
 
+def _mean_base_kernel(
+    m_seg,  # static: segment rows per relation block (x tile wraps mod m)
+    offs_ref,  # scalar-prefetch: [num_tiles + 1] int32 edge offsets
+    msgs_ref,  # [E_pad, F] messages in HBM
+    seg_ref,  # [E_pad/128, 128] int32 sorted segment ids in HBM
+    x_ref,  # [TILE_N, F] base-value tile (VMEM, auto-pipelined)
+    out_ref,  # [TILE_N, F] (x + Σ msgs) / max(count, 1)
+    cnt_ref,  # [TILE_N, 128] edge counts (col 0; MXU ones-product)
+    msgs_buf,  # VMEM scratch [CHUNK_E, F]
+    seg_buf,  # VMEM scratch [CHUNK_E/128, 128]
+    sems,  # DMA semaphores (2,)
+):
+    t = pl.program_id(0)
+    start = offs_ref[t]
+    end = offs_ref[t + 1]
+    base = t * TILE_N
+    aligned = (start // CHUNK_E) * CHUNK_E
+    num_chunks = pl.cdiv(end - aligned, CHUNK_E)
+
+    def body(c, carry):
+        acc, cnt = carry
+        e0 = pl.multiple_of(aligned + c * CHUNK_E, CHUNK_E)
+        r0 = e0 // SUBROW
+        cp_m = pltpu.make_async_copy(
+            msgs_ref.at[pl.ds(e0, CHUNK_E), :], msgs_buf, sems.at[0]
+        )
+        cp_d = pltpu.make_async_copy(
+            seg_ref.at[pl.ds(r0, CHUNK_E // SUBROW), :], seg_buf, sems.at[1]
+        )
+        cp_m.start()
+        cp_d.start()
+        cp_m.wait()
+        cp_d.wait()
+        # one [CHUNK_E, TILE_N] one-hot → ONE MXU contraction per chunk
+        # (contraction dim 1024 — vs 8 skinny 128-deep dots per chunk in
+        # segment_sum_sorted, which underfeeds the systolic array)
+        blocks = []
+        for r in range(CHUNK_E // SUBROW):  # static unroll
+            seg = seg_buf[r, :]  # [128]
+            pos = e0 + r * SUBROW + jax.lax.broadcasted_iota(
+                jnp.int32, (SUBROW, 1), 0
+            )[:, 0]
+            valid = (pos >= start) & (pos < end)
+            local = jnp.where(valid, seg - base, TILE_N)
+            blocks.append(
+                (
+                    jax.lax.broadcasted_iota(jnp.int32, (SUBROW, TILE_N), 1)
+                    == local[:, None]
+                ).astype(jnp.float32)
+            )
+        oh = jnp.concatenate(blocks, axis=0)  # [CHUNK_E, TILE_N]
+        acc = acc + jax.lax.dot_general(
+            oh,
+            msgs_buf[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        cnt = cnt + jax.lax.dot_general(
+            oh,
+            jnp.ones((CHUNK_E, 128), jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        return acc, cnt
+
+    acc0 = jnp.zeros(out_ref.shape, jnp.float32)
+    cnt0 = jnp.zeros(cnt_ref.shape, jnp.float32)
+    acc, cnt = jax.lax.fori_loop(0, num_chunks, body, (acc0, cnt0))
+    cnt_ref[...] = cnt
+    out_ref[...] = (x_ref[...] + acc) / jnp.maximum(cnt[:, :1], 1.0)
+
+
+def _mean_base_pallas(
+    msgs: jax.Array,  # [E, F]
+    seg_sorted: jax.Array,  # [E] ascending segment ids in [0, S)
+    x_base: jax.Array,  # [m, F] per-segment base values, tiled mod m
+    tile_offsets: jax.Array,  # [S/TILE_N + 1]
+    num_segments: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    e, f = msgs.shape
+    m = x_base.shape[0]
+    f_pad = (-f) % 128
+    fp = f + f_pad
+    msgs = jnp.pad(msgs, ((0, _pad_len(e)), (0, f_pad)))
+    x_base = jnp.pad(x_base, ((0, 0), (0, f_pad)))
+    seg_mat = _prep_dst(seg_sorted, e, num_segments)
+    assert num_segments % TILE_N == 0 and m % TILE_N == 0, (num_segments, m)
+    num_tiles = num_segments // TILE_N
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(
+                (TILE_N, fp),
+                lambda t, offs: ((t * TILE_N % m) // TILE_N, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_N, fp), lambda t, offs: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda t, offs: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK_E, fp), jnp.float32),
+            pltpu.VMEM((CHUNK_E // SUBROW, SUBROW), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    import functools
+
+    agg, cnt = pl.pallas_call(
+        functools.partial(_mean_base_kernel, m),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_segments, fp), jnp.float32),
+            jax.ShapeDtypeStruct((num_segments, 128), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_offsets, msgs, seg_mat, x_base)
+    return agg[:, :f], cnt[:, 0]
+
+
+def _smb_impl(msgs, seg_sorted, x_base, tile_offsets, num_segments, interpret):
+    return _mean_base_pallas(
+        msgs, seg_sorted, x_base, tile_offsets, num_segments, interpret
+    )
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def segment_mean_base_sorted(
+    msgs: jax.Array,
+    seg_sorted: jax.Array,
+    x_base: jax.Array,
+    tile_offsets: jax.Array,
+    num_segments: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """``out[s] = (x_base[s % m] + Σ_{seg==s} msgs) / max(count_s, 1)`` for
+    SORTED segment ids — the fused-SAGE mean-with-base aggregation
+    (models/fused.py) as ONE Pallas kernel (sum + counts + mean epilogue)
+    instead of two XLA scatters + gather + divide.
+
+    Differentiable: the backward pass is pure XLA (one gather + one reduce)
+    — ``d msgs = (g/c)[seg]``, ``d x_base = Σ_rel (g/c)`` — so only the
+    forward needs the kernel.
+    """
+    agg, _ = _smb_impl(msgs, seg_sorted, x_base, tile_offsets, num_segments, interpret)
+    return agg
+
+
+def _smb_fwd(msgs, seg_sorted, x_base, tile_offsets, num_segments, interpret):
+    agg, cnt = _smb_impl(
+        msgs, seg_sorted, x_base, tile_offsets, num_segments, interpret
+    )
+    return agg, (seg_sorted, cnt, x_base.shape[0])
+
+
+def _smb_bwd(num_segments, interpret, res, g):
+    seg_sorted, cnt, m = res
+    gd = g / jnp.maximum(cnt, 1.0)[:, None]
+    dmsgs = gd[jnp.minimum(seg_sorted, num_segments - 1)]
+    dx = gd.reshape(-1, m, g.shape[-1]).sum(0)
+    return dmsgs, None, dx, None
+
+
+segment_mean_base_sorted.defvjp(_smb_fwd, _smb_bwd)
+
+
 def segment_sum_sorted(
     msgs: jax.Array,
     dst_sorted: jax.Array,

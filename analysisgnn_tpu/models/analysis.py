@@ -68,6 +68,9 @@ class AnalysisGNN(nn.Module):
     # (core/hgnn.py:178-179), which is measurably unstable in the
     # multi-task recipe at the reference lr — see encoders.HybridGNN.
     final_norm: bool = False
+    # Pallas fused aggregation in the HybridGNN conv path (needs the
+    # sampler's src-sorted edge order)
+    use_pallas: bool = False
 
     def setup(self):
         node_types, edge_types = self.metadata
@@ -82,8 +85,11 @@ class AnalysisGNN(nn.Module):
         }
         enc_cls = ENCODERS[self.encoder_type.lower()]
         enc_kwargs = {}
-        if self.final_norm and self.encoder_type.lower() == "hybridgnn":
-            enc_kwargs["final_norm"] = True
+        if self.encoder_type.lower() == "hybridgnn":
+            if self.final_norm:
+                enc_kwargs["final_norm"] = True
+            if self.use_pallas:
+                enc_kwargs["use_pallas"] = True
         self.encoder = enc_cls(
             hidden=self.hidden_channels,
             num_layers=self.num_layers,

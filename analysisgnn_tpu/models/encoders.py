@@ -58,6 +58,8 @@ class HybridGNN(nn.Module):
     # "fnorm"): bounding the encoder output is what lets the full recipe
     # train at the reference hyperparameters.
     final_norm: bool = False
+    # Pallas fused mean-with-base aggregation (needs src-sorted edges)
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -70,9 +72,12 @@ class HybridGNN(nn.Module):
         h = dict(x_dict)
         note_states = []
         for i in range(self.num_layers):
-            h = HeteroConv(self.hidden, self.edge_types, name=f"layer_{i}")(
-                h, edge_index_dict
-            )
+            h = HeteroConv(
+                self.hidden,
+                self.edge_types,
+                use_pallas=self.use_pallas,
+                name=f"layer_{i}",
+            )(h, edge_index_dict)
             h = {t: nn.relu(v) for t, v in h.items()}
             h = {t: l2_normalize(v) for t, v in h.items()}
             h = {
@@ -83,9 +88,9 @@ class HybridGNN(nn.Module):
         if self.use_jk:
             jk = LayerAttentionJK(self.hidden, name="jk")(note_states)
             h = {**h, NOTE: jk}
-        out = HeteroConv(self.hidden, self.edge_types, name="final")(
-            h, edge_index_dict
-        )
+        out = HeteroConv(
+            self.hidden, self.edge_types, use_pallas=self.use_pallas, name="final"
+        )(h, edge_index_dict)
         if self.final_norm:
             return l2_normalize(nn.relu(out[NOTE]))
         return out[NOTE]

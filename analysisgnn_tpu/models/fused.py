@@ -29,10 +29,19 @@ from analysisgnn_tpu.kernels.segment_ops import segment_sum
 
 
 class FusedHeteroSage(nn.Module):
-    """T-relation SAGE over shared node set; relations stacked on axis 0."""
+    """T-relation SAGE over shared node set; relations stacked on axis 0.
+
+    ``use_pallas`` replaces the two-scatter + gather + divide aggregation
+    with ONE Pallas kernel (kernels/pallas_segment.py::
+    segment_mean_base_sorted).  It REQUIRES edges sorted ascending by src
+    within each relation (the sampler emits this order under
+    ``SamplerConfig.sort_edges_by_src``); padding edge ids equal the node
+    capacity, so they sort last and land on each relation's dummy row.
+    """
 
     out_features: int
     num_relations: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -58,11 +67,33 @@ class FusedHeteroSage(nn.Module):
         dst = jnp.minimum(edge_dst, n - 1)
         gather_idx = edge_rel * n + dst
         msgs = flat[jnp.minimum(gather_idx, t * n - 1)]
-        seg = jnp.where(src >= n, t * n, edge_rel * n + src)
-        sums = segment_sum(msgs, seg, t * n).reshape(t, n, f)
-        counts = segment_sum(jnp.ones_like(seg, jnp.float32), seg, t * n).reshape(t, n)
-        # torch_scatter mean-with-out semantics: (x + Σ msgs) / max(count, 1)
-        agg = (x[None] + sums) / jnp.maximum(counts, 1.0)[..., None]
+        if self.use_pallas:
+            from analysisgnn_tpu.kernels.pallas_segment import (
+                TILE_N,
+                segment_mean_base_sorted,
+            )
+
+            # per-relation segment stride m > n keeps padding edges (src=n)
+            # on a dummy row that the [:, :n] slice removes, while keeping
+            # the concatenated segment ids globally sorted
+            m = (n // TILE_N + 1) * TILE_N  # smallest multiple of TILE_N > n
+            seg = edge_rel * m + src
+            offsets = jnp.searchsorted(
+                seg, jnp.arange(0, t * m + 1, TILE_N, dtype=seg.dtype)
+            ).astype(jnp.int32)
+            x_pad = jnp.pad(x, ((0, m - n), (0, 0)))
+            agg = segment_mean_base_sorted(
+                msgs, seg, x_pad, offsets, t * m,
+                jax.default_backend() == "cpu",  # interpret off-TPU
+            ).reshape(t, m, f)[:, :n]
+        else:
+            seg = jnp.where(src >= n, t * n, edge_rel * n + src)
+            sums = segment_sum(msgs, seg, t * n).reshape(t, n, f)
+            counts = segment_sum(
+                jnp.ones_like(seg, jnp.float32), seg, t * n
+            ).reshape(t, n)
+            # torch_scatter mean-with-out semantics: (x + Σ msgs) / max(count, 1)
+            agg = (x[None] + sums) / jnp.maximum(counts, 1.0)[..., None]
         out = (
             jnp.einsum("nf,tfg->tng", x, w_self)
             + jnp.einsum("tnf,tfg->tng", agg, w_agg)

@@ -46,6 +46,9 @@ class HeteroConv(nn.Module):
     # HierarchicalHeteroGraphSage uses aggr='sum' (reference models/
     # cadence.py:144-156).
     aggr: str = "mean"
+    # Route the fused-SAGE aggregation through the Pallas kernel (requires
+    # src-sorted edges per relation — SamplerConfig.sort_edges_by_src).
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -78,7 +81,7 @@ class HeteroConv(nn.Module):
             )
             out = FusedHeteroSage(
                 self.out_features, len(present), name="unified"
-            )(x_all, src, dst, rel)  # [T, N_all, G]
+            )(x_all, src, dst, rel)  # [T, N_all, G] (pallas n/a: concat ids unsorted)
             result: Dict[str, jax.Array] = {}
             for t in x_dict:
                 idxs = [i for i, et in enumerate(present) if et[0] == t]
@@ -102,7 +105,10 @@ class HeteroConv(nn.Module):
                     continue  # no fusion benefit
                 src, dst, rid = stack_relations(edge_index_dict, rels)
                 out = FusedHeteroSage(
-                    self.out_features, len(rels), name=f"fused_{t}"
+                    self.out_features,
+                    len(rels),
+                    use_pallas=self.use_pallas,
+                    name=f"fused_{t}",
                 )(x_dict[t], src, dst, rid)
                 contributions[t].extend(jnp.unstack(out, axis=0))
                 handled.update(rels)

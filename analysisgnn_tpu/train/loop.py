@@ -70,6 +70,9 @@ class TrainConfig:
     # output, which is what lets the multi-task recipe train stably at the
     # reference lr=5e-3 (scripts/variant_sweep.py arm "fnorm").
     final_norm: bool = False
+    # Pallas fused aggregation in the HybridGNN conv path; implies the
+    # sampler must emit src-sorted edges (wired by the CLI).
+    use_pallas: bool = False
     mt_strategy: str = "wloss"
     lambda_dctn: float = 0.5
     lambda_featl: float = 0.1
@@ -114,6 +117,7 @@ class Trainer:
             encoder_type=config.model.lower(),
             use_edge_decoder=config.use_edge_loss,
             final_norm=config.final_norm,
+            use_pallas=config.use_pallas,
         )
         self.history: List[Dict] = []
         self.best_val = float("inf")

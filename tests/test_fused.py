@@ -58,3 +58,65 @@ def test_stack_relations_shapes():
     src, dst, rel = stack_relations(ei, list(ei.keys()))
     assert src.shape == (8,)
     assert rel.tolist() == [0] * 5 + [1] * 3
+
+
+def test_fused_pallas_flag_equivalence():
+    """use_pallas=True (src-sorted edges) must match the XLA path exactly —
+    forward AND gradients — including padding edges (id = n)."""
+    rng = np.random.default_rng(1)
+    n, f, t = 24, 16, 3
+    x = jnp.asarray(rng.normal(size=(n, f)), jnp.float32)
+    srcs, dsts, rels = [], [], []
+    for r in range(t):
+        e = rng.integers(0, n, size=(2, 17)).astype(np.int32)
+        e = e[:, np.argsort(e[0], kind="stable")]  # src-sorted
+        e = np.concatenate([e, np.full((2, 3), n, np.int32)], axis=1)  # padding last
+        srcs.append(e[0]); dsts.append(e[1])
+        rels.append(np.full(e.shape[1], r, np.int32))
+    src = jnp.asarray(np.concatenate(srcs))
+    dst = jnp.asarray(np.concatenate(dsts))
+    rel = jnp.asarray(np.concatenate(rels))
+
+    ref = FusedHeteroSage(12, t)
+    pal = FusedHeteroSage(12, t, use_pallas=True)
+    params = ref.init(jax.random.PRNGKey(0), x, src, dst, rel)
+
+    out_ref = ref.apply(params, x, src, dst, rel)
+    out_pal = pal.apply(params, x, src, dst, rel)
+    np.testing.assert_allclose(
+        np.asarray(out_ref), np.asarray(out_pal), rtol=1e-5, atol=1e-5
+    )
+
+    def loss(mod, p, xx):
+        return (mod.apply(p, xx, src, dst, rel) ** 2).sum()
+
+    g_ref = jax.grad(lambda p: loss(ref, p, x))(params)
+    g_pal = jax.grad(lambda p: loss(pal, p, x))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    gx_ref = jax.grad(lambda xx: loss(ref, params, xx))(x)
+    gx_pal = jax.grad(lambda xx: loss(pal, params, xx))(x)
+    np.testing.assert_allclose(
+        np.asarray(gx_ref), np.asarray(gx_pal), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sampler_sort_edges_by_src():
+    """sort_edges_by_src emits every relation ascending by src with padding
+    (id = capacity) last — the Pallas kernel's required order."""
+    from analysisgnn_tpu.data.note_array import synthetic_score
+    from analysisgnn_tpu.data.corpus import samples_from_note_array
+    from analysisgnn_tpu.data.sampler import SamplerConfig, SubgraphSampler
+
+    samples = samples_from_note_array(
+        synthetic_score(num_notes=60, seed=0), add_beats=False, add_measures=False
+    )
+    cfg = SamplerConfig(subgraph_size=24, batch_size=2, sort_edges_by_src=True)
+    batch = SubgraphSampler(samples * 2, cfg).sample_batch([0, 1])
+    cap = batch.capacity("note")
+    for et, ei in batch.edge_index_dict().items():
+        s = np.asarray(ei[0])
+        assert (np.diff(s) >= 0).all(), et
+        real = s[s < cap]
+        pad = s[s >= cap]
+        assert (pad == cap).all()

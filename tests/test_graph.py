@@ -28,9 +28,10 @@ def test_padding_and_masks():
     assert nm.tolist() == [True] * 4 + [False] * 2
     em = np.asarray(g.edge_mask(("note", "onset", "note")))
     assert em.tolist() == [True] * 3 + [False] * 5
-    # padding edges point at index 4 (== num valid nodes) for both ends
+    # padding edges point one past the PADDED array (== capacity) for both
+    # ends, so id >= x.shape[0] always identifies padding
     ei = np.asarray(g.edge_index[edge_type_key(("note", "onset", "note"))])
-    assert (ei[:, 3:] == 4).all()
+    assert (ei[:, 3:] == 6).all()
     tm = np.asarray(g.target_mask())
     assert tm.tolist() == [True, True, False, False, False, False]
 
