@@ -39,6 +39,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, default="HybridGNN",
                    choices=["HybridGNN", "HGT", "MetricalGNN"])
     p.add_argument("--use_jk", action="store_true")
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="optimizer updates fused per device dispatch (lax.scan)")
     p.add_argument("--use_pallas", action="store_true",
                    help="Pallas fused aggregation in the HybridGNN conv path "
                         "(sampler emits src-sorted edges)")
@@ -247,6 +249,7 @@ def main(argv=None) -> None:
         log_path=os.path.join(config.get("checkpoint_dir", "checkpoints"), "log.jsonl"),
         use_wandb=config.get("use_wandb", False),
         resume=config.get("load_from_checkpoint", False),
+        scan_steps=config.get("scan_steps", 1),
     )
     trainer = Trainer(tc, dm)
     # persist the model-construction config next to checkpoints for predict

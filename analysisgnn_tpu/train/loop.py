@@ -38,6 +38,8 @@ from analysisgnn_tpu.train.step import (
     make_fisher_step,
     make_test_step,
     make_train_step,
+    make_train_step_multi,
+    stack_batches,
 )
 
 # composite main-task → constituent head names (reference set_task expansion,
@@ -95,6 +97,10 @@ class TrainConfig:
     log_path: Optional[str] = None
     use_wandb: bool = False
     resume: bool = False  # restore full state from checkpoint_dir/full
+    # run K optimizer updates per device dispatch via lax.scan over K staged
+    # batches (bit-identical to K single steps — tests/test_train_step.py);
+    # amortizes per-dispatch latency, which dominates on remote-tunnel links
+    scan_steps: int = 1
 
 
 class Trainer:
@@ -179,6 +185,9 @@ class Trainer:
                 make_train_step(self.model, self.optimizer, sc),
                 make_eval_step(self.model, sc),
                 make_fisher_step(self.model, sc),
+                make_train_step_multi(self.model, self.optimizer, sc)
+                if self.cfg.scan_steps > 1
+                else None,
             )
         return self._step_cache[key]
 
@@ -305,30 +314,50 @@ class Trainer:
                 }
                 active = tuple(sorted({t for v in active_by_task.values() for t in v}))
                 train_source = None
-            train_step, eval_step, fisher_step = self._steps_for(active, previous)
+            train_step, eval_step, fisher_step, multi_step = self._steps_for(active, previous)
 
             for epoch in range(epochs_per_task[ti]):
                 t0 = time.time()
                 steps = max_steps_per_epoch or self.dm.steps_per_epoch(main_task)
-                losses = []
                 from analysisgnn_tpu.data.prefetch import prefetch
 
+                # device-side loss handles, fetched ONCE at epoch end so the
+                # host never blocks between dispatches (a per-step float()
+                # serializes the async dispatch pipeline)
+                loss_handles = []
                 if cfg.cl_training:
                     # host-side sampling overlaps device compute
-                    for batch in prefetch(train_source(steps)):
-                        state, aux = train_step(state, batch)
-                        losses.append(float(aux["total_loss"]))
+                    if cfg.scan_steps > 1:
+                        chunk = []
+                        for batch in prefetch(train_source(steps)):
+                            chunk.append(batch)
+                            if len(chunk) == cfg.scan_steps:
+                                state, auxes = multi_step(state, stack_batches(chunk))
+                                loss_handles.append(auxes["total_loss"])
+                                chunk = []
+                        for batch in chunk:  # remainder < scan_steps
+                            state, aux = train_step(state, batch)
+                            loss_handles.append(aux["total_loss"])
+                    else:
+                        for batch in prefetch(train_source(steps)):
+                            state, aux = train_step(state, batch)
+                            loss_handles.append(aux["total_loss"])
                 else:
                     for batch_dict in prefetch(self.dm.combined_train_batches(steps)):
                         for mt, batch in batch_dict.items():
-                            ts, _, _ = self._steps_for(
+                            ts, _, _, _ = self._steps_for(
                                 tuple(
                                     t for t in active_by_task[mt]
                                 ),
                                 previous,
                             )
                             state, aux = ts(state, batch)
-                            losses.append(float(aux["total_loss"]))
+                            loss_handles.append(aux["total_loss"])
+                losses = [
+                    float(x)
+                    for h in loss_handles
+                    for x in np.atleast_1d(np.asarray(h))
+                ]
                 # validation (note-weighted accumulation: a 10-note batch no
                 # longer counts as much as a 10,000-note one)
                 from analysisgnn_tpu.train.metrics import (
@@ -338,7 +367,7 @@ class Trainer:
 
                 val_acc: Dict[str, object] = {}
                 for mt in (main_tasks if cfg.cl_training else self.dm.main_tasks):
-                    _, ev, _ = self._steps_for(
+                    _, ev, _, _ = self._steps_for(
                         tuple(
                             t
                             for t in expand_main_task(mt, self.task_dict)
@@ -391,7 +420,7 @@ class Trainer:
                     # fisher from one replay batch per seen task (:1326-1368)
                     for mt in main_tasks[: ti + 1]:
                         for batch in self.dm.val_batches(mt):
-                            _, _, fs = self._steps_for(active, previous)
+                            _, _, fs, _ = self._steps_for(active, previous)
                             state = fs(state, batch, np.float32(ti + 1))
                             break
         if cfg.use_swa and swa_params is not None:

@@ -251,8 +251,14 @@ def compute_losses(
     return total, feature_loss, memory_loss, task_losses, metrics
 
 
-def make_train_step(model, optimizer: optax.GradientTransformation, cfg: StepConfig):
-    """Build the jitted training step for a fixed (static) StepConfig."""
+def _make_step_body(model, optimizer: optax.GradientTransformation, cfg: StepConfig):
+    """The pure (unjitted) ``(state, batch) -> (state, aux)`` step body.
+
+    Shared by :func:`make_train_step` (one jit per batch) and
+    :func:`make_train_step_multi` (``lax.scan`` over K stacked batches in a
+    single dispatch — on runtimes where per-dispatch latency rivals the
+    compute, e.g. remote-tunnel TPU links, this amortizes the launch cost
+    across K optimizer updates with bit-identical math)."""
 
     def loss_fn(trainables, state: TrainState, batch: HeteroGraph, rng):
         params, mt_params = trainables
@@ -279,10 +285,7 @@ def make_train_step(model, optimizer: optax.GradientTransformation, cfg: StepCon
     task_order = tuple(t for t, _ in cfg.task_dict)
     famo_opt = famo_init(len(task_order))[1] if cfg.mt_strategy == "famo" else None
 
-    # donate the state: params/opt-state buffers are updated in place instead
-    # of being copied every step (~6× params worth of HBM traffic saved)
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch: HeteroGraph):
+    def step_body(state: TrainState, batch: HeteroGraph):
         rng, new_rng = jax.random.split(state.rng)
         grads, aux = jax.grad(loss_fn, has_aux=True)(
             (state.params, state.mt_params), state, batch, rng
@@ -324,7 +327,40 @@ def make_train_step(model, optimizer: optax.GradientTransformation, cfg: StepCon
         aux["skipped_nonfinite"] = (~finite).astype(jnp.float32)
         return new_state, aux
 
-    return train_step
+    return step_body
+
+
+def make_train_step(model, optimizer: optax.GradientTransformation, cfg: StepConfig):
+    """Build the jitted training step for a fixed (static) StepConfig."""
+    # donate the state: params/opt-state buffers are updated in place instead
+    # of being copied every step (~6× params worth of HBM traffic saved)
+    return partial(jax.jit, donate_argnums=(0,))(
+        _make_step_body(model, optimizer, cfg)
+    )
+
+
+def make_train_step_multi(model, optimizer: optax.GradientTransformation, cfg: StepConfig):
+    """Jitted K-step trainer: ``(state, stacked_batches) -> (state, auxes)``.
+
+    ``stacked_batches`` is a :class:`HeteroGraph` pytree whose every leaf has
+    a leading ``[K]`` axis (see :func:`stack_batches`); the body runs K full
+    optimizer updates under one ``lax.scan``, so host→device dispatch cost is
+    paid once per K steps instead of per step.  ``auxes`` leaves are stacked
+    ``[K]``."""
+    body = _make_step_body(model, optimizer, cfg)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step_multi(state: TrainState, stacked_batches: HeteroGraph):
+        return jax.lax.scan(body, state, stacked_batches)
+
+    return train_step_multi
+
+
+def stack_batches(batches: Sequence[HeteroGraph]) -> HeteroGraph:
+    """Stack identically-shaped sampler batches along a new leading axis for
+    :func:`make_train_step_multi` (static-shape sampling guarantees the
+    shapes match)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
 
 
 def make_eval_step(model, cfg: StepConfig):

@@ -160,3 +160,24 @@ def test_full_state_checkpoint_roundtrip(tmp_path):
         state.opt_state, restored.opt_state,
     )
     assert all(jax.tree_util.tree_leaves(opt_same))
+
+
+def test_scan_steps_training(tmp_path):
+    """scan_steps>1 fuses K updates per dispatch; epoch still runs all steps
+    (incl. the remainder chunk) and logs finite per-step losses."""
+    dm = make_dm()
+    cfg = TrainConfig(
+        num_layers=1,
+        hidden_channels=16,
+        out_channels=8,
+        dropout=0.0,
+        cl_training=True,
+        main_tasks=("cadence",),
+        epochs_per_task=(1,),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        scan_steps=2,
+    )
+    trainer = Trainer(cfg, dm)
+    state = trainer.fit(max_steps_per_epoch=5)  # 2 scans of 2 + remainder 1
+    assert int(state.step) == 5
+    assert np.isfinite(trainer.history[0]["train_loss"])

@@ -249,3 +249,59 @@ def test_smote_path_runs():
     step = make_train_step(model, opt, cfg)
     state, aux = step(state, batch)
     assert np.isfinite(float(aux["total_loss"]))
+
+
+def test_multi_step_scan_matches_sequential():
+    """K steps under one lax.scan == K sequential jitted steps (exactly)."""
+    import dataclasses as dc
+
+    from analysisgnn_tpu.train.step import make_train_step_multi, stack_batches
+
+    sampler = make_sampler()
+    nodes, edges = metadata(False, False)
+    model = AnalysisGNN(
+        metadata=(nodes, edges),
+        in_channels=25,
+        hidden_channels=32,
+        out_channels=16,
+        task_dict=TASKS,
+        num_layers=2,
+        dropout=0.0,
+        encoder_type="hybridgnn",
+    )
+    batch = sampler.sample_batch([0, 1])
+    attrs = batch.node_attrs[NOTE]
+    args = (
+        batch.x_dict(),
+        batch.edge_index_dict(),
+        batch.batch,
+        attrs["pitch_spelling"],
+        attrs["key_signature"],
+        batch.num_target_nodes,
+    )
+    params = model.init(jax.random.PRNGKey(0), *args)
+    opt = make_optimizer(warmup_cosine_schedule(5e-3, total_steps=60))
+    cfg = StepConfig(
+        task_dict=TASKS, active_tasks=("cadence", "localkey"), mt_strategy="wloss"
+    )
+    batches = [sampler.sample_batch([0, 1]) for _ in range(3)]
+
+    state_a = create_train_state(params, len(TASKS), opt, jax.random.PRNGKey(1))
+    single = make_train_step(model, opt, cfg)
+    seq_losses = []
+    for b in batches:
+        state_a, aux = single(state_a, b)
+        seq_losses.append(float(aux["total_loss"]))
+
+    state_b = create_train_state(params, len(TASKS), opt, jax.random.PRNGKey(1))
+    multi = make_train_step_multi(model, opt, cfg)
+    state_b, auxes = multi(state_b, stack_batches(batches))
+
+    np.testing.assert_allclose(
+        np.asarray(auxes["total_loss"]), np.asarray(seq_losses), rtol=1e-6
+    )
+    assert int(state_b.step) == int(state_a.step) == 3
+    pa = jax.tree_util.tree_leaves(state_a.params)
+    pb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
