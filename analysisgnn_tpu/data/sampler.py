@@ -88,6 +88,18 @@ class SamplerConfig:
     # fused-aggregation kernel requires (models/fused.py use_pallas);
     # padding edges (id = capacity) always sort last
     sort_edges_by_src: bool = False
+    # Capacity calibration: sample this many trial batches at construction
+    # (side-effect-free: the RNG state is restored) and shrink each
+    # relation's static edge capacity to the observed per-batch maximum ×
+    # ``edge_capacity_headroom``, rounded up to a multiple of 256 and never
+    # above the worst-case ``edge_capacity_per_note`` formula.  The
+    # worst-case caps overshoot real batches ~6× (36 K valid edges in
+    # 228 K padded slots on the bench workload), and every encoder pays
+    # per-PADDED-edge gather/scatter cost — calibration reclaims that
+    # directly.  Overflow beyond the calibrated cap still truncates with a
+    # warning + counter (see ``edge_overflow``).  0 disables.
+    calibrate_batches: int = 8
+    edge_capacity_headroom: float = 1.5
 
 
 class SubgraphSampler:
@@ -120,6 +132,8 @@ class SubgraphSampler:
             per_note = c.edge_capacity_per_note.get(et[1], 4)
             base = self.note_cap if NOTE in (et[0], et[2]) else self.metrical_cap
             self.edge_caps[et] = int(base * per_note)
+        if c.calibrate_batches > 0:
+            self._calibrate_edge_caps(c.calibrate_batches, c.edge_capacity_headroom)
         self.feature_dims = {t: v.shape[1] for t, v in self.samples[0].features.items()}
         self.attr_names = sorted(self.samples[0].note_attrs.keys())
         # observability: edges dropped by capacity truncation, per edge type
@@ -129,6 +143,35 @@ class SubgraphSampler:
         self._warned_overflow = False
 
     # ------------------------------------------------------------------ #
+
+    def _calibrate_edge_caps(self, trials: int, headroom: float) -> None:
+        """Shrink static edge capacities to observed batch maxima × headroom.
+
+        Runs ``trials`` full batch samplings with the SAME code path as
+        :meth:`sample_batch` (edge caps only affect packing, never which
+        nodes/edges get sampled), records the raw per-relation edge counts,
+        then restores the RNG state so the training stream is byte-identical
+        with calibration on or off.
+        """
+        state = self.rng.bit_generator.state
+        observed: Dict[EdgeType, int] = {et: 0 for et in self.edge_caps}
+        for _ in range(trials):
+            graph_indices = self.rng.choice(
+                len(self.samples),
+                size=min(self.cfg.batch_size, len(self.samples)),
+                replace=len(self.samples) < self.cfg.batch_size,
+            )
+            counts: Dict[EdgeType, int] = {et: 0 for et in self.edge_caps}
+            for gi in graph_indices:
+                _, edges, _ = self._sample_one(int(gi))
+                for et, ei in edges.items():
+                    counts[et] += ei.shape[1]
+            for et, cnt in counts.items():
+                observed[et] = max(observed[et], cnt)
+        self.rng.bit_generator.state = state
+        for et, worst in self.edge_caps.items():
+            tight = int(np.ceil(observed[et] * headroom / 256.0)) * 256
+            self.edge_caps[et] = min(max(tight, 256), worst)
 
     def _csr(self, gi: int) -> Dict[EdgeType, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         if self._csr_cache[gi] is None:

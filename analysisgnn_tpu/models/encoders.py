@@ -26,10 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from analysisgnn_tpu.core.graph import BEAT, EdgeType, MEASURE, NOTE
-from analysisgnn_tpu.kernels.segment_ops import (
-    segment_softmax,
-    segment_sum,
-)
+from analysisgnn_tpu.kernels.segment_ops import segment_sum
 from analysisgnn_tpu.models.conv import SageConv, _gather
 from analysisgnn_tpu.models.hetero import HeteroConv
 from analysisgnn_tpu.models.rnn import BiResetGRU, LayerAttentionJK, segment_starts
@@ -149,6 +146,22 @@ class HGTLayer(nn.Module):
     parameter consumed by a single batched einsum over the padded [R, E]
     edge stack — identical math to the per-relation loop with ~R× fewer
     kernel launches on the 7-relation note-note group.
+
+    On the dispatch-overhead-bound tunnel runtime (≈1.6 ms per kernel —
+    docs/STATUS.md) the remaining cost is kernel COUNT, so the layer also:
+
+    - computes Q, K, V with ONE fused ``Dense(3·hidden)`` per node type
+      (``qkv_{t}``) instead of three separate projections;
+    - runs ONE segment softmax + aggregation over a **union node space**
+      (all node types concatenated with offsets) instead of one per
+      aggregating type — exact because segments of different types are
+      disjoint id ranges (padded edges are remapped to the union
+      out-of-range id so they still drop);
+    - fuses the softmax denominator into the aggregation scatter: the
+      unnormalized ``exp`` weights ride as extra channels of one packed
+      ``segment_sum`` and the division happens at node level
+      (``Σ m·e / Σ e`` ≡ ``Σ m·(e/Σe)``), saving one full scatter pass and
+      two per-edge denominator gathers.
     """
 
     hidden: int
@@ -168,22 +181,25 @@ class HGTLayer(nn.Module):
             stacked_groups = stack_edge_groups(
                 edge_index_dict, self.edge_types, x_dict
             )
-        q = {
-            t: nn.Dense(self.hidden, name=f"q_{t}")(x).reshape(-1, self.heads, h_dim)
-            for t, x in x_dict.items()
-        }
-        k = {
-            t: nn.Dense(self.hidden, name=f"k_{t}")(x).reshape(-1, self.heads, h_dim)
-            for t, x in x_dict.items()
-        }
-        v = {
-            t: nn.Dense(self.hidden, name=f"v_{t}")(x).reshape(-1, self.heads, h_dim)
-            for t, x in x_dict.items()
-        }
-        # collect per-aggregating-type edge logits and messages
-        per_type_logits: Dict[str, list] = {t: [] for t in node_types}
-        per_type_msgs: Dict[str, list] = {t: [] for t in node_types}
-        per_type_segs: Dict[str, list] = {t: [] for t in node_types}
+        q: Dict[str, jax.Array] = {}
+        k: Dict[str, jax.Array] = {}
+        v: Dict[str, jax.Array] = {}
+        for t, x in x_dict.items():
+            qkv = nn.Dense(3 * self.hidden, name=f"qkv_{t}")(x)
+            q[t], k[t], v[t] = (
+                a.reshape(-1, self.heads, h_dim)
+                for a in jnp.split(qkv, 3, axis=-1)
+            )
+        # union node space: type offsets so ONE softmax/scatter serves all
+        # aggregating types (segments are disjoint across types)
+        offsets: Dict[str, int] = {}
+        n_union = 0
+        for t in node_types:
+            offsets[t] = n_union
+            n_union += x_dict[t].shape[0]
+        union_logits: list = []
+        union_msgs: list = []
+        union_segs: list = []
         for (src_t, dst_t), (idx, rels) in stacked_groups.items():
             n_rel, _, e_max = idx.shape
             tag = f"{src_t}__{dst_t}"
@@ -198,27 +214,42 @@ class HGTLayer(nn.Module):
                 (n_rel, self.heads, h_dim, h_dim),
             )
             prior = self.param(f"prior_{tag}", nn.initializers.ones, (n_rel, self.heads))
+            n_src = x_dict[src_t].shape[0]
             n_dst = x_dict[dst_t].shape[0]
             src_ids = idx[:, 0, :]  # [R, E] aggregator
             dst_ids = jnp.minimum(idx[:, 1, :], n_dst - 1)  # [R, E] info source
             k_e = k[dst_t][dst_ids]  # [R, E, H, D]
-            q_e = q[src_t][jnp.minimum(src_ids, x_dict[src_t].shape[0] - 1)]
+            q_e = q[src_t][jnp.minimum(src_ids, n_src - 1)]
             k_t = jnp.einsum("rehd,rhdf->rehf", k_e, w_att)
             logits = (q_e * k_t).sum(-1) * prior[:, None, :] / jnp.sqrt(h_dim)
             msg = jnp.einsum("rehd,rhdf->rehf", v[dst_t][dst_ids], w_msg)
-            per_type_logits[src_t].append(logits.reshape(n_rel * e_max, self.heads))
-            per_type_msgs[src_t].append(msg.reshape(n_rel * e_max, self.heads, h_dim))
-            per_type_segs[src_t].append(src_ids.reshape(-1))
+            # padded edges (src == n_src) map to the union out-of-range id
+            segs = jnp.where(src_ids >= n_src, n_union, src_ids + offsets[src_t])
+            union_logits.append(logits.reshape(n_rel * e_max, self.heads))
+            union_msgs.append(msg.reshape(n_rel * e_max, self.heads, h_dim))
+            union_segs.append(segs.reshape(-1))
         out: Dict[str, jax.Array] = {}
+        if union_logits:
+            logits = jnp.concatenate(union_logits, axis=0)  # [Eu, H]
+            msgs = jnp.concatenate(union_msgs, axis=0)  # [Eu, H, D]
+            segs = jnp.concatenate(union_segs, axis=0)  # [Eu]
+            seg_max = jax.ops.segment_max(logits, segs, num_segments=n_union)
+            seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+            expw = jnp.exp(
+                logits - seg_max[jnp.minimum(segs, n_union - 1)]
+            )  # [Eu, H] unnormalized attention
+            packed = jnp.concatenate(
+                [(msgs * expw[..., None]).reshape(-1, self.hidden), expw], axis=-1
+            )  # [Eu, hidden + H]
+            summed = segment_sum(packed, segs, n_union)  # [Nu, hidden + H]
+            num = summed[:, : self.hidden].reshape(n_union, self.heads, h_dim)
+            den = jnp.maximum(summed[:, self.hidden :], 1e-16)  # [Nu, H]
+            agg_union = (num / den[..., None]).reshape(n_union, self.hidden)
+        aggregating = {src_t for (src_t, _dst_t) in stacked_groups}
         for t in node_types:
             n = x_dict[t].shape[0]
-            if per_type_logits[t]:
-                logits = jnp.concatenate(per_type_logits[t], axis=0)  # [Et, H]
-                msgs = jnp.concatenate(per_type_msgs[t], axis=0)  # [Et, H, D]
-                segs = jnp.concatenate(per_type_segs[t], axis=0)  # [Et]
-                att = segment_softmax(logits, segs, n)  # [Et, H]
-                agg = segment_sum(msgs * att[..., None], segs, n)  # [N, H, D]
-                agg = agg.reshape(n, self.hidden)
+            if t in aggregating:
+                agg = jax.lax.dynamic_slice_in_dim(agg_union, offsets[t], n, 0)
                 upd = nn.Dense(self.hidden, name=f"out_{t}")(nn.gelu(agg))
                 # gated residual (HGT skip); project the input when its width
                 # differs from the hidden size (first layer on raw features)

@@ -93,9 +93,14 @@ def test_hgt_layer_matches_torch_per_relation_reference():
     got = {t: np.asarray(v) for t, v in layer.apply(params, jx, je).items()}
 
     p = params["params"]
-    q = {t: _dense(_t(x[t]), p[f"q_{t}"]).reshape(-1, heads, h_dim) for t in x}
-    k = {t: _dense(_t(x[t]), p[f"k_{t}"]).reshape(-1, heads, h_dim) for t in x}
-    v = {t: _dense(_t(x[t]), p[f"v_{t}"]).reshape(-1, heads, h_dim) for t in x}
+    # fused per-type QKV projection: kernel [F, 3*hidden] split into thirds
+    q, k, v = {}, {}, {}
+    for t in x:
+        qkv = _dense(_t(x[t]), p[f"qkv_{t}"])
+        qt, kt, vt = torch.split(qkv, hidden, dim=-1)
+        q[t] = qt.reshape(-1, heads, h_dim)
+        k[t] = kt.reshape(-1, heads, h_dim)
+        v[t] = vt.reshape(-1, heads, h_dim)
 
     # group relations by (src, dst) in metadata order — param layout contract
     groups = {}

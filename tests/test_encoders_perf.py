@@ -98,9 +98,10 @@ def test_hgt_relation_batched_matches_per_relation_math():
     p = params["params"]
     x = np.asarray(x_dict[NOTE])
     dense = lambda name: x @ np.asarray(p[name]["kernel"]) + np.asarray(p[name]["bias"])
-    q = dense(f"q_{NOTE}").reshape(n, heads, h_dim)
-    k = dense(f"k_{NOTE}").reshape(n, heads, h_dim)
-    v = dense(f"v_{NOTE}").reshape(n, heads, h_dim)
+    qkv = dense(f"qkv_{NOTE}")
+    q = qkv[:, :hidden].reshape(n, heads, h_dim)
+    k = qkv[:, hidden : 2 * hidden].reshape(n, heads, h_dim)
+    v = qkv[:, 2 * hidden :].reshape(n, heads, h_dim)
     w_att = np.asarray(p[f"watt_{NOTE}__{NOTE}"])
     w_msg = np.asarray(p[f"wmsg_{NOTE}__{NOTE}"])
     prior = np.asarray(p[f"prior_{NOTE}__{NOTE}"])
