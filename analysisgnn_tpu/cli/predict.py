@@ -123,6 +123,7 @@ def load_model_and_params(checkpoint_dir: str, tag: str):
         use_jk=cfg.get("use_jk", True),
         final_norm=cfg.get("final_norm", False),
         logit_fusion=cfg.get("logit_fusion", False),
+        use_rnn=cfg.get("use_rnn", False),
         encoder_type=cfg.get("model", "HybridGNN").lower(),
     )
     # build an abstract params tree to restore into

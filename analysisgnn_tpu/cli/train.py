@@ -74,6 +74,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--random_split", action="store_true")
     p.add_argument("--logit_fusion", action="store_true")
+    p.add_argument("--use_rnn", action="store_true",
+                   help="onset-sequence BiGRU after the encoder "
+                        "(reference models/analysis.py:512-537)")
     p.add_argument("--feature_type", type=str, default="simple",
                    choices=["cadence", "simple"])
     p.add_argument("--config_path", type=str, default=None)
@@ -229,6 +232,7 @@ def main(argv=None) -> None:
         final_norm=config.get("final_norm", False),
         use_pallas=config.get("use_pallas", False),
         logit_fusion=config.get("logit_fusion", False),
+        use_rnn=config.get("use_rnn", False),
         mt_strategy=config.get("mt_strategy", "wloss"),
         lambda_dctn=config.get("lambda_dctn", 0.5),
         lambda_featl=config.get("lambda_featl", 0.1),
@@ -265,6 +269,7 @@ def main(argv=None) -> None:
                 "use_jk": tc.use_jk,
                 "final_norm": tc.final_norm,
                 "logit_fusion": tc.logit_fusion,
+                "use_rnn": tc.use_rnn,
                 "add_beats": tc.add_beats,
                 "add_measures": tc.add_measures,
                 "in_channels": dm.feature_dim,
