@@ -60,7 +60,12 @@ def main() -> None:
     from analysisgnn_tpu.theory.vocab import TASK_DICT
     from analysisgnn_tpu.train.schedules import warmup_cosine_schedule
     from analysisgnn_tpu.train.state import create_train_state, make_optimizer
-    from analysisgnn_tpu.train.step import StepConfig, make_train_step
+    from analysisgnn_tpu.train.step import (
+        StepConfig,
+        make_train_step,
+        make_train_step_multi,
+        stack_batches,
+    )
 
     tasks = tuple(TASK_DICT.items())
 
@@ -130,35 +135,40 @@ def main() -> None:
         active_tasks=tuple(t for t, _ in tasks),
         mt_strategy="wloss",
     )
-    train_step = make_train_step(model, opt, step_cfg)
+    # production ``--scan_steps`` path: K optimizer updates fused into one
+    # device dispatch via lax.scan (bit-identical math to K sequential steps,
+    # tests/test_train_step.py); amortizes per-dispatch latency —
+    # scripts/bench_scan_ab.py measured 31.9 → 30.1 ms/step on the v5e
+    K = 6
+    train_step_multi = make_train_step_multi(model, opt, step_cfg)
 
     # the number of *valid* message edges processed per step (each of the 3
     # encoder layers + final conv touches every edge; count raw graph edges
     # once per step for an implementation-independent denominator)
-    edges_per_batch = int(
-        sum(np.asarray(v) for v in batch.num_edges.values())
-    )
-
     # Pre-sample batches on the host and STAGE THEM ON DEVICE, then dispatch
     # steps back-to-back — async dispatch pipelines host latency behind
     # device compute (the training loop overlaps uploads via prefetch, and
     # the tunnel transport here is far slower than a real host-TPU link);
     # the final scalar fetch forces completion.
     S = 24
-    batches = [
-        jax.device_put(sampler.sample_batch()) for _ in range(4)
-    ]
-    jax.block_until_ready(batches)
+    stacked = jax.device_put(
+        stack_batches([sampler.sample_batch() for _ in range(K)])
+    )
+    jax.block_until_ready(stacked)
+    # mean valid message edges per step over the K timed batches
+    edges_per_batch = float(
+        sum(np.asarray(v).mean() for v in stacked.num_edges.values())
+    )
 
     _phase("batches staged; warmup starting")
-    state, aux = train_step(state, batches[0])
-    _ = float(aux["total_loss"])
+    state, auxes = train_step_multi(state, stacked)
+    _ = float(auxes["total_loss"][-1])
     _phase("warmup done")
 
     t0 = time.perf_counter()
-    for i in range(S):
-        state, aux = train_step(state, batches[i % len(batches)])
-    _ = float(aux["total_loss"])  # forces the whole chain
+    for _ in range(S // K):
+        state, auxes = train_step_multi(state, stacked)
+    _ = float(auxes["total_loss"][-1])  # forces the whole chain
     dt = time.perf_counter() - t0
 
     _phase(f"timed loop done dt={dt:.2f}s")
@@ -183,5 +193,29 @@ def main() -> None:
     )
 
 
+def _run_with_retry() -> None:
+    """The tunnel TPU worker intermittently crashes/restarts mid-program
+    (jax UNAVAILABLE: "TPU worker process crashed or restarted"); the PJRT
+    client cannot recover in-process, but the restarted worker serves a
+    fresh process fine.  Re-exec ourselves up to 2 times on that failure so
+    one flaky worker restart doesn't sink the benchmark run."""
+    import os
+    import sys
+
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — inspect and re-raise below
+        attempt = int(os.environ.get("BENCH_RETRY", "0"))
+        msg = str(e)
+        if ("UNAVAILABLE" in msg or "crashed or restarted" in msg) and attempt < 2:
+            print(
+                f"[bench] TPU worker crashed (attempt {attempt}); re-executing",
+                file=sys.stderr, flush=True,
+            )
+            env = dict(os.environ, BENCH_RETRY=str(attempt + 1))
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        raise
+
+
 if __name__ == "__main__":
-    main()
+    _run_with_retry()
