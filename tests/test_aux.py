@@ -152,3 +152,66 @@ def test_prefetch_iterator():
 
     with pytest.raises(ValueError):
         list(prefetch_calls(boom, 3))
+
+
+def test_voice_from_edges_components():
+    from analysisgnn_tpu.utils.graph_utils import voice_from_edges
+
+    # two chains {0,1,2} and {3,4}, isolated node 5 → 3 voices
+    edges = np.array([[0, 1, 3], [1, 2, 4]])
+    voices, n = voice_from_edges(edges, 6)
+    assert n == 3
+    assert voices.min() == 1
+    assert voices[0] == voices[1] == voices[2]
+    assert voices[3] == voices[4]
+    assert len({voices[0], voices[3], voices[5]}) == 3
+
+
+def test_adj_matrix_from_edges_drops_out_of_range():
+    from analysisgnn_tpu.utils.graph_utils import adj_matrix_from_edges
+
+    edges = np.array([[0, 1, 7], [1, 2, 0]])  # the (7, 0) edge is padding
+    a = adj_matrix_from_edges(edges, 3)
+    assert a.shape == (3, 3)
+    assert a.nnz == 2
+
+
+def test_node_subgraph_induced_and_relabeled():
+    from analysisgnn_tpu.utils.graph_utils import node_subgraph
+
+    nn = ("note", "consecutive", "note")
+    nb = ("note", "onset_in", "beat")
+    bn = ("beat", "contains", "note")
+    edges = {
+        nn: np.array([[0, 1, 2, 4], [1, 2, 3, 5]]),
+        nb: np.array([[0, 1, 2, 3, 4, 5], [0, 0, 1, 1, 2, 2]]),
+        bn: np.array([[0, 0, 1, 1, 2, 2], [0, 1, 2, 3, 4, 5]]),
+    }
+    # keep a NON-contiguous note set (the reference helper cannot do this)
+    sub, keep = node_subgraph(edges, {"note": 6, "beat": 3}, np.array([1, 2, 4]))
+    assert list(keep["note"]) == [1, 2, 4]
+    assert list(keep["beat"]) == [0, 1, 2]  # all beats touch a kept note
+    # only the 1→2 note edge survives; relabeled to 0→1
+    assert sub[nn].tolist() == [[0], [1]]
+    # note→beat edges for kept notes, beat ids unchanged (all kept)
+    assert sub[nb].tolist() == [[0, 1, 2], [0, 1, 2]]
+    # dropping note 4 also drops beat 2
+    sub2, keep2 = node_subgraph(edges, {"note": 6, "beat": 3}, np.array([1, 2]))
+    assert list(keep2["beat"]) == [0, 1]
+    assert sub2[bn].shape[1] == 2
+
+
+def test_batch_graphs_disjoint_union():
+    from analysisgnn_tpu.utils.graph_utils import batch_graphs
+
+    nn = ("note", "consecutive", "note")
+    nb = ("note", "onset_in", "beat")
+    g0 = {nn: np.array([[0, 1], [1, 2]]), nb: np.array([[0, 1, 2], [0, 0, 1]])}
+    g1 = {nn: np.array([[0], [1]])}
+    edges, offsets = batch_graphs(
+        [g0, g1], [{"note": 3, "beat": 2}, {"note": 2, "beat": 0}]
+    )
+    assert offsets["note"].tolist() == [0, 3]
+    assert offsets["beat"].tolist() == [0, 2]
+    assert edges[nn].tolist() == [[0, 1, 3], [1, 2, 4]]
+    assert edges[nb].tolist() == [[0, 1, 2], [0, 0, 1]]
