@@ -29,16 +29,24 @@ from analysisgnn_tpu.core.graph import HeteroGraph
 
 
 def make_mesh(
-    n_devices: Optional[int] = None, devices: Optional[Sequence] = None
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    model_size: Optional[int] = None,
 ) -> Mesh:
     """Factorize available devices into a (data, model) mesh.
 
-    Uses a model axis of 2 when the device count is even (>=4), else pure DP.
+    By default uses a model axis of 2 when the device count is even (>=4),
+    else pure DP; pass ``model_size`` to force the factorization (e.g.
+    ``model_size=1`` for pure DP scaling runs).
     """
     if devices is None:
         devices = jax.devices()[: n_devices or len(jax.devices())]
     n = len(devices)
-    model = 2 if n >= 4 and n % 2 == 0 else 1
+    if model_size is None:
+        model = 2 if n >= 4 and n % 2 == 0 else 1
+    else:
+        assert n % model_size == 0, (n, model_size)
+        model = model_size
     data = n // model
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, ("data", "model"))
