@@ -42,7 +42,45 @@ def note_array_from_df(df: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
     df = df.copy()
     if "continuous_beats" in df.columns:
         df["onset_beat"] = df["continuous_beats"]
-    df["ts_beats"] = df["ts_beats"].astype(int)
+    # schema hardening for real-world pitch arrays: coerce the numeric
+    # columns (files in the wild carry float-typed div columns, stray
+    # strings, and NA cells at pickup measures); rows with no usable
+    # onset/pitch cannot be placed in the graph and are dropped (the
+    # reference's dtype-spec loader would instead raise, dcl_tsv_utils.py
+    # :78-96 — divergence documented)
+    for col in ("onset_div", "duration_div", "onset_beat"):
+        if col in df.columns:
+            df[col] = pd.to_numeric(df[col], errors="coerce")
+    pitch_col = "pitch" if "pitch" in df.columns else (
+        "s_midi" if "s_midi" in df.columns else None
+    )
+    if pitch_col is None:
+        raise ValueError(
+            "pitch array has neither a 'pitch' nor an 's_midi' column"
+        )
+    df[pitch_col] = pd.to_numeric(df[pitch_col], errors="coerce")
+    usable = df["onset_div"].notna() & df[pitch_col].notna()
+    df = df[usable].reset_index(drop=True)
+    df["duration_div"] = df.get(
+        "duration_div", pd.Series([1] * len(df))
+    ).fillna(0)
+    if "ts_beats" not in df.columns:
+        df["ts_beats"] = 4
+    df["ts_beats"] = (
+        pd.to_numeric(df["ts_beats"], errors="coerce").fillna(4).astype(int)
+    )
+    if "onset_beat" not in df.columns or df["onset_beat"].isna().all():
+        df["onset_beat"] = df["onset_div"].astype(float)
+    elif df["onset_beat"].isna().any():
+        # sparse NA beats: fill by interpolating from onset_div at the
+        # file's div/beat ratio estimated from the non-NA rows
+        ok = df["onset_beat"].notna()
+        ratio = np.polyfit(
+            df.loc[ok, "onset_div"], df.loc[ok, "onset_beat"], 1
+        )
+        df.loc[~ok, "onset_beat"] = np.polyval(
+            ratio, df.loc[~ok, "onset_div"]
+        )
     uniq_beat = np.unique(df["onset_beat"].to_numpy())
     uniq_div = np.unique(df["onset_div"].to_numpy())
     diff_beat = np.diff(uniq_beat)
@@ -52,8 +90,15 @@ def note_array_from_df(df: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
     else:
         divs_per_beat = diff_div[0] / diff_beat[0]
     if "step" not in df.columns:
-        df["step"] = df["s_step"]
-        df["alter"] = df["s_alter"]
+        if "s_step" in df.columns:
+            df["step"] = df["s_step"]
+            df["alter"] = df["s_alter"]
+        else:  # spelling absent: sharp-side spelling from the midi pitch
+            from analysisgnn_tpu.data.note_array import _PC_TO_SPELLING
+
+            pcs = df["pitch"].to_numpy(np.int64) % 12
+            df["step"] = [_PC_TO_SPELLING[p][0] for p in pcs]
+            df["alter"] = [_PC_TO_SPELLING[p][1] for p in pcs]
     if "pitch" not in df.columns:
         df["pitch"] = df["s_midi"]
     if "staff" not in df.columns:
@@ -66,6 +111,8 @@ def note_array_from_df(df: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
         df["voice"] = df.get("s_voice_id", 1)
 
     n = len(df)
+    if n == 0:
+        return np.zeros(0, dtype=NOTE_ARRAY_DTYPE), None
     na = np.zeros(n, dtype=NOTE_ARRAY_DTYPE)
     na["onset_div"] = df["onset_div"].to_numpy(np.int64)
     na["duration_div"] = df["duration_div"].to_numpy(np.int64)
@@ -75,7 +122,11 @@ def note_array_from_df(df: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
     na["voice"] = pd.to_numeric(df["voice"], errors="coerce").fillna(1).to_numpy(np.int64)
     na["staff"] = pd.to_numeric(df["staff"], errors="coerce").fillna(1).to_numpy(np.int64)
     na["ts_beats"] = df["ts_beats"].to_numpy(np.int64)
-    na["ts_beat_type"] = df.get("ts_beat_type", pd.Series([4] * n)).to_numpy(np.int64)
+    na["ts_beat_type"] = (
+        pd.to_numeric(df.get("ts_beat_type", pd.Series([4] * n)), errors="coerce")
+        .fillna(4)
+        .to_numpy(np.int64)
+    )
     na["step"] = df["step"].astype(str).to_numpy()
     na["alter"] = pd.to_numeric(df["alter"], errors="coerce").fillna(0).to_numpy(np.int64)
     na["octave"] = na["pitch"] // 12 - 1
