@@ -71,6 +71,11 @@ class AnalysisGNN(nn.Module):
     # Pallas fused aggregation in the HybridGNN conv path (needs the
     # sampler's src-sorted edge order)
     use_pallas: bool = False
+    # HGT relation-stack grouping: "pair" (per src/dst type pair) or
+    # "emax" (union-node-space capacity bins — fewer gathers/einsums per
+    # layer with bounded padding, exactness-tested in
+    # tests/test_encoders_perf.py)
+    hgt_group_mode: str = "pair"
 
     def setup(self):
         node_types, edge_types = self.metadata
@@ -90,6 +95,8 @@ class AnalysisGNN(nn.Module):
                 enc_kwargs["final_norm"] = True
             if self.use_pallas:
                 enc_kwargs["use_pallas"] = True
+        if self.encoder_type.lower() == "hgt" and self.hgt_group_mode != "pair":
+            enc_kwargs["group_mode"] = self.hgt_group_mode
         self.encoder = enc_cls(
             hidden=self.hidden_channels,
             num_layers=self.num_layers,

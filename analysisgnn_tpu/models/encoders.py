@@ -132,6 +132,76 @@ def stack_edge_groups(
     return out
 
 
+def node_type_offsets(
+    x_dict: Dict[str, jax.Array]
+) -> Tuple[Dict[str, int], int]:
+    """Union-node-space offsets: node types concatenated in dict order."""
+    offsets: Dict[str, int] = {}
+    n_union = 0
+    for t in x_dict:
+        offsets[t] = n_union
+        n_union += x_dict[t].shape[0]
+    return offsets, n_union
+
+
+def stack_edge_groups_emax(
+    edge_index_dict: Dict[EdgeType, jax.Array],
+    edge_types: Tuple[EdgeType, ...],
+    x_dict: Dict[str, jax.Array],
+    bin_factor: float = 4.0,
+) -> Tuple[Tuple[jax.Array, Tuple[EdgeType, ...]], ...]:
+    """Bin ALL relations into union-node-space ``[R, 2, E_max]`` stacks by
+    edge capacity instead of by (src_type, dst_type) pair.
+
+    The round-2 negative result (docs/STATUS.md: 299.8 → 446.8 ms) ruled out
+    ONE global stack — the beat/measure relations inherited the note-note
+    relations' E_max and the padding exploded.  The permitted grain is
+    *bounded padding*: sort relations by capacity and greedily bin while the
+    group's largest capacity stays within ``bin_factor``× its smallest.
+    On the metrical score graph this collapses the eight (src,dst) pair
+    groups into two or three stacks — ~4× fewer gathers/einsums per layer
+    on a dispatch-overhead-bound runtime — while padding stays bounded.
+
+    Edge ids are remapped to the union node space (src also marks padding
+    with the union out-of-range id), so one gather from the concatenated
+    q/k/v arrays serves every relation in a stack.
+    """
+    offsets, n_union = node_type_offsets(x_dict)
+    rels = [
+        et
+        for et in edge_types
+        if et in edge_index_dict and et[0] in x_dict and et[2] in x_dict
+    ]
+    rels.sort(key=lambda et: (-edge_index_dict[et].shape[1], et))
+    groups: list = []
+    for et in rels:
+        e = edge_index_dict[et].shape[1]
+        if groups and groups[-1][0] <= bin_factor * e:
+            groups[-1][1].append(et)
+        else:
+            groups.append([e, [et]])
+    out = []
+    for e_max, ets in groups:
+        stacked = []
+        for et in ets:
+            src_t, _, dst_t = et
+            ei = edge_index_dict[et]
+            n_src = x_dict[src_t].shape[0]
+            n_dst = x_dict[dst_t].shape[0]
+            # remap to union ids; padding (src >= n_src) → union
+            # out-of-range so scatters drop it, dst clamped for gathers
+            src = jnp.where(
+                ei[0] >= n_src, n_union, ei[0] + offsets[src_t]
+            )
+            dst = jnp.minimum(ei[1], n_dst - 1) + offsets[dst_t]
+            pad = e_max - ei.shape[1]
+            src = jnp.pad(src, (0, pad), constant_values=n_union)
+            dst = jnp.pad(dst, (0, pad), constant_values=0)
+            stacked.append(jnp.stack([src, dst]))
+        out.append((jnp.stack(stacked), tuple(ets)))
+    return tuple(out)
+
+
 class HGTLayer(nn.Module):
     """Heterogeneous Graph Transformer layer, relation-batched.
 
@@ -167,6 +237,7 @@ class HGTLayer(nn.Module):
     hidden: int
     heads: int = 4
     edge_types: Tuple[EdgeType, ...] = ()
+    group_mode: str = "pair"  # "pair" | "emax" (union-space capacity bins)
 
     @nn.compact
     def __call__(
@@ -178,8 +249,10 @@ class HGTLayer(nn.Module):
         h_dim = self.hidden // self.heads
         node_types = tuple(x_dict.keys())
         if stacked_groups is None:
-            stacked_groups = stack_edge_groups(
-                edge_index_dict, self.edge_types, x_dict
+            stacked_groups = (
+                stack_edge_groups_emax(edge_index_dict, self.edge_types, x_dict)
+                if self.group_mode == "emax"
+                else stack_edge_groups(edge_index_dict, self.edge_types, x_dict)
             )
         q: Dict[str, jax.Array] = {}
         k: Dict[str, jax.Array] = {}
@@ -192,15 +265,57 @@ class HGTLayer(nn.Module):
             )
         # union node space: type offsets so ONE softmax/scatter serves all
         # aggregating types (segments are disjoint across types)
-        offsets: Dict[str, int] = {}
-        n_union = 0
-        for t in node_types:
-            offsets[t] = n_union
-            n_union += x_dict[t].shape[0]
+        offsets, n_union = node_type_offsets(x_dict)
         union_logits: list = []
         union_msgs: list = []
         union_segs: list = []
-        for (src_t, dst_t), (idx, rels) in stacked_groups.items():
+        if self.group_mode == "emax":
+            # q/k/v live in the union node space: ONE gather per stack
+            # serves every relation regardless of its (src,dst) types; a
+            # padding row absorbs clamped out-of-range ids
+            q_u = jnp.concatenate([q[t] for t in node_types] + [
+                jnp.zeros((1, self.heads, h_dim), q[node_types[0]].dtype)
+            ])
+            k_u = jnp.concatenate([k[t] for t in node_types] + [
+                jnp.zeros((1, self.heads, h_dim), q[node_types[0]].dtype)
+            ])
+            v_u = jnp.concatenate([v[t] for t in node_types] + [
+                jnp.zeros((1, self.heads, h_dim), q[node_types[0]].dtype)
+            ])
+            for gi, (idx, rels) in enumerate(stacked_groups):
+                n_rel, _, e_max = idx.shape
+                tag = f"g{gi}"
+                w_att = self.param(
+                    f"watt_{tag}",
+                    nn.initializers.xavier_uniform(
+                        in_axis=-2, out_axis=-1, batch_axis=(0, 1)
+                    ),
+                    (n_rel, self.heads, h_dim, h_dim),
+                )
+                w_msg = self.param(
+                    f"wmsg_{tag}",
+                    nn.initializers.xavier_uniform(
+                        in_axis=-2, out_axis=-1, batch_axis=(0, 1)
+                    ),
+                    (n_rel, self.heads, h_dim, h_dim),
+                )
+                prior = self.param(
+                    f"prior_{tag}", nn.initializers.ones, (n_rel, self.heads)
+                )
+                segs = idx[:, 0, :]  # [R, E] union aggregator (pad = n_union)
+                dst_ids = idx[:, 1, :]  # [R, E] union info source (pad = 0)
+                k_e = k_u[dst_ids]
+                q_e = q_u[jnp.minimum(segs, n_union)]
+                k_t = jnp.einsum("rehd,rhdf->rehf", k_e, w_att)
+                logits = (q_e * k_t).sum(-1) * prior[:, None, :] / jnp.sqrt(h_dim)
+                msg = jnp.einsum("rehd,rhdf->rehf", v_u[dst_ids], w_msg)
+                union_logits.append(logits.reshape(n_rel * e_max, self.heads))
+                union_msgs.append(msg.reshape(n_rel * e_max, self.heads, h_dim))
+                union_segs.append(segs.reshape(-1))
+            stacked_pairs = ()
+        else:
+            stacked_pairs = stacked_groups.items()
+        for (src_t, dst_t), (idx, rels) in stacked_pairs:
             n_rel, _, e_max = idx.shape
             tag = f"{src_t}__{dst_t}"
             w_att = self.param(
@@ -245,7 +360,12 @@ class HGTLayer(nn.Module):
             num = summed[:, : self.hidden].reshape(n_union, self.heads, h_dim)
             den = jnp.maximum(summed[:, self.hidden :], 1e-16)  # [Nu, H]
             agg_union = (num / den[..., None]).reshape(n_union, self.hidden)
-        aggregating = {src_t for (src_t, _dst_t) in stacked_groups}
+        if self.group_mode == "emax":
+            aggregating = {
+                et[0] for (_idx, rels) in stacked_groups for et in rels
+            }
+        else:
+            aggregating = {src_t for (src_t, _dst_t) in stacked_groups}
         for t in node_types:
             n = x_dict[t].shape[0]
             if t in aggregating:
@@ -274,6 +394,7 @@ class HybridHGT(nn.Module):
     dropout: float = 0.0
     use_jk: bool = True
     edge_types: Tuple[EdgeType, ...] = ()
+    group_mode: str = "pair"  # see HGTLayer.group_mode
 
     @nn.compact
     def __call__(
@@ -285,11 +406,17 @@ class HybridHGT(nn.Module):
     ) -> jax.Array:
         h = dict(x_dict)
         note_states = []
-        # relation-batched edge stacks are layer-invariant: build once
-        stacked = stack_edge_groups(edge_index_dict, self.edge_types, x_dict)
+        # relation-batched edge stacks are layer-invariant (node-type row
+        # counts do not change across layers): build once
+        stacked = (
+            stack_edge_groups_emax(edge_index_dict, self.edge_types, x_dict)
+            if self.group_mode == "emax"
+            else stack_edge_groups(edge_index_dict, self.edge_types, x_dict)
+        )
         for i in range(self.num_layers):
             h = HGTLayer(
-                self.hidden, self.heads, self.edge_types, name=f"layer_{i}"
+                self.hidden, self.heads, self.edge_types,
+                group_mode=self.group_mode, name=f"layer_{i}"
             )(h, edge_index_dict, stacked)
             h = {
                 t: nn.Dropout(self.dropout)(v, deterministic=deterministic)

@@ -73,6 +73,8 @@ def bench_encoder(encoder_type: str, tasks, batches, steps: int = 24) -> dict:
     from analysisgnn_tpu.train.step import StepConfig, make_train_step
 
     nodes, edges_meta = metadata(True, True)
+    # "HGT-emax" = HGT with union-space capacity-binned relation stacks
+    enc, _, variant = encoder_type.lower().partition("-")
     model = AnalysisGNN(
         metadata=(nodes, edges_meta),
         in_channels=25,
@@ -81,7 +83,8 @@ def bench_encoder(encoder_type: str, tasks, batches, steps: int = 24) -> dict:
         task_dict=tasks,
         num_layers=3,
         dropout=0.3,
-        encoder_type=encoder_type.lower(),
+        encoder_type=enc,
+        hgt_group_mode=variant or "pair",
     )
     batch = batches[0]
     attrs = batch.node_attrs[NOTE]
