@@ -124,6 +124,7 @@ def load_model_and_params(checkpoint_dir: str, tag: str):
         final_norm=cfg.get("final_norm", False),
         logit_fusion=cfg.get("logit_fusion", False),
         use_rnn=cfg.get("use_rnn", False),
+        hgt_group_mode=cfg.get("hgt_group_mode", "pair"),
         encoder_type=cfg.get("model", "HybridGNN").lower(),
     )
     # build an abstract params tree to restore into

@@ -74,6 +74,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--random_split", action="store_true")
     p.add_argument("--logit_fusion", action="store_true")
+    p.add_argument("--hgt_group_mode", type=str, default="pair",
+                   choices=["pair", "emax"],
+                   help="HGT relation-stack grouping (emax = union-space "
+                        "capacity bins, fewer dispatches per layer)")
     p.add_argument("--use_rnn", action="store_true",
                    help="onset-sequence BiGRU after the encoder "
                         "(reference models/analysis.py:512-537)")
@@ -231,6 +235,7 @@ def main(argv=None) -> None:
         use_jk=config.get("use_jk", True),
         final_norm=config.get("final_norm", False),
         use_pallas=config.get("use_pallas", False),
+        hgt_group_mode=config.get("hgt_group_mode", "pair"),
         logit_fusion=config.get("logit_fusion", False),
         use_rnn=config.get("use_rnn", False),
         mt_strategy=config.get("mt_strategy", "wloss"),
@@ -270,6 +275,7 @@ def main(argv=None) -> None:
                 "final_norm": tc.final_norm,
                 "logit_fusion": tc.logit_fusion,
                 "use_rnn": tc.use_rnn,
+                "hgt_group_mode": tc.hgt_group_mode,
                 "add_beats": tc.add_beats,
                 "add_measures": tc.add_measures,
                 "in_channels": dm.feature_dim,

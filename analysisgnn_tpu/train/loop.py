@@ -75,6 +75,8 @@ class TrainConfig:
     # Pallas fused aggregation in the HybridGNN conv path; implies the
     # sampler must emit src-sorted edges (wired by the CLI).
     use_pallas: bool = False
+    # HGT relation-stack grouping ("pair" | "emax", models/encoders.py)
+    hgt_group_mode: str = "pair"
     mt_strategy: str = "wloss"
     lambda_dctn: float = 0.5
     lambda_featl: float = 0.1
@@ -124,6 +126,7 @@ class Trainer:
             use_edge_decoder=config.use_edge_loss,
             final_norm=config.final_norm,
             use_pallas=config.use_pallas,
+            hgt_group_mode=config.hgt_group_mode,
         )
         self.history: List[Dict] = []
         self.best_val = float("inf")

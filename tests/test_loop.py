@@ -181,3 +181,31 @@ def test_scan_steps_training(tmp_path):
     state = trainer.fit(max_steps_per_epoch=5)  # 2 scans of 2 + remainder 1
     assert int(state.step) == 5
     assert np.isfinite(trainer.history[0]["train_loss"])
+
+
+def test_cl_training_full_feature_stack(tmp_path):
+    """CL sequencing with logit fusion + RNN smoothing + HGT emax grouping
+    all ON — the round-2 gap where these paths had only been exercised as
+    isolated forwards (docs/STATUS.md r2 priority 5)."""
+    dm = make_dm()
+    cfg = TrainConfig(
+        num_layers=1,
+        hidden_channels=16,
+        out_channels=8,
+        dropout=0.0,
+        model="HGT",
+        hgt_group_mode="emax",
+        logit_fusion=True,
+        use_rnn=True,
+        cl_training=True,
+        main_tasks=("cadence", "rna"),
+        epochs_per_task=(1, 1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_path=str(tmp_path / "log.jsonl"),
+        lambda_dctn=0.5,
+    )
+    trainer = Trainer(cfg, dm)
+    trainer.fit(max_steps_per_epoch=2)
+    assert (tmp_path / "ckpt" / "cadence_model").exists()
+    assert len(trainer.history) == 2
+    assert all(np.isfinite(h["train_loss"]) for h in trainer.history)
