@@ -130,7 +130,16 @@ def predict_score(
         attrs["key_signature"],
         graph.num_target_nodes,
     )
-    probs = {k: np.asarray(jax.nn.softmax(v, -1)) for k, v in logits.items()}
+    # numpy softmax: per-task jax.nn.softmax would trigger one small XLA
+    # compile per task shape (~21 compiles, seconds of host latency on the
+    # one-score predict path) for work that is trivially host-side
+    def _softmax(x):
+        x = np.asarray(x, np.float64)
+        x = x - x.max(-1, keepdims=True)
+        e = np.exp(x)
+        return e / e.sum(-1, keepdims=True)
+
+    probs = {k: _softmax(v) for k, v in logits.items()}
     if tasks:
         probs = {k: v for k, v in probs.items() if k in tasks}
     onset_edges = np.asarray(graph.edges((NOTE, "onset", NOTE)))
