@@ -528,3 +528,283 @@ def segment_softmax_sorted(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_offsets, logits, dst_mat)
     return out[:e, :h]
+
+
+# --------------------------------------------------------------------------- #
+# Fused segment softmax + weighted aggregation (the HGT attention reduction)
+# --------------------------------------------------------------------------- #
+
+
+def _softmax_agg_kernel(
+    true_h,  # static: real head count (H)
+    d_dim,  # static: per-head feature width (D); msgs layout is head-major
+    num_blocks,  # static: relation-block count (R)
+    tiles_per_block,  # static: m / TILE_N
+    offs_ref,  # scalar-prefetch: [R * tiles_per_block + 1] int32
+    logits_ref,  # [E_pad, Hp] HBM
+    msgs_ref,  # [E_pad, Fp] HBM
+    seg_ref,  # [E_pad/128, 128] int32 block-major segment ids in HBM
+    num_ref,  # out [TILE_N, Fp] Σ exp-weighted msgs
+    den_ref,  # out [TILE_N, Hp] Σ exp weights
+    max_ref,  # out [TILE_N, Hp] per-node max (saved for backward)
+    logit_buf,  # scratch [CHUNK_E, Hp]
+    msgs_buf,  # scratch [CHUNK_E, Fp]
+    seg_buf,  # scratch [CHUNK_E/128, 128]
+    sems,  # DMA semaphores (3,)
+):
+    t = pl.program_id(0)
+    hp = logit_buf.shape[1]
+    fp = msgs_buf.shape[1]
+
+    max_ref[...] = jnp.full_like(max_ref, -jnp.inf)
+
+    def block_ranges(r):
+        start = offs_ref[r * tiles_per_block + t]
+        end = offs_ref[r * tiles_per_block + t + 1]
+        return start, end
+
+    def load_chunk(e0, want_msgs):
+        r0 = e0 // SUBROW
+        cp_l = pltpu.make_async_copy(
+            logits_ref.at[pl.ds(e0, CHUNK_E), :], logit_buf, sems.at[0]
+        )
+        cp_d = pltpu.make_async_copy(
+            seg_ref.at[pl.ds(r0, CHUNK_E // SUBROW), :], seg_buf, sems.at[1]
+        )
+        cp_l.start()
+        cp_d.start()
+        if want_msgs:
+            cp_m = pltpu.make_async_copy(
+                msgs_ref.at[pl.ds(e0, CHUNK_E), :], msgs_buf, sems.at[2]
+            )
+            cp_m.start()
+            cp_m.wait()
+        cp_l.wait()
+        cp_d.wait()
+
+    def subrow_parts(r, e0, sub, start, end):
+        seg = seg_buf[sub, :]
+        pos = e0 + sub * SUBROW + jax.lax.broadcasted_iota(
+            jnp.int32, (SUBROW, 1), 0
+        )[:, 0]
+        valid = (pos >= start) & (pos < end)
+        base = r * (tiles_per_block * TILE_N) + t * TILE_N
+        local = jnp.where(valid, seg - base, TILE_N)
+        local = jnp.where((local >= 0) & (local <= TILE_N), local, TILE_N)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (SUBROW, TILE_N), 1)
+            == local[:, None]
+        )
+        return onehot, valid
+
+    # ---- pass 1: per-node max over ALL relation blocks ----
+    def pass1_block(r, _):
+        start, end = block_ranges(r)
+        aligned = (start // CHUNK_E) * CHUNK_E
+        num_chunks = pl.cdiv(end - aligned, CHUNK_E)
+
+        def chunk(c, _):
+            e0 = pl.multiple_of(aligned + c * CHUNK_E, CHUNK_E)
+            load_chunk(e0, want_msgs=False)
+
+            def subrow(sub, _):
+                onehot, valid = subrow_parts(r, e0, sub, start, end)
+                keep = onehot & valid[:, None]
+                logits = logit_buf[pl.ds(sub * SUBROW, SUBROW), :]
+                cols = []
+                for hh in range(true_h):
+                    lh = jnp.broadcast_to(logits[:, hh][:, None], keep.shape)
+                    cols.append(
+                        jnp.where(keep, lh, -jnp.inf).max(axis=0)[:, None]
+                    )
+                pad = hp - true_h
+                if pad:
+                    cols.append(
+                        jnp.full((keep.shape[1], pad), -jnp.inf, jnp.float32)
+                    )
+                max_ref[...] = jnp.maximum(
+                    max_ref[...], jnp.concatenate(cols, axis=1)
+                )
+                return 0
+
+            jax.lax.fori_loop(0, CHUNK_E // SUBROW, subrow, 0)
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk, 0)
+        return 0
+
+    jax.lax.fori_loop(0, num_blocks, pass1_block, 0)
+    node_max = jnp.where(jnp.isfinite(max_ref[...]), max_ref[...], 0.0)
+    max_ref[...] = node_max
+
+    # H→F expander: ex_full[:, h*D:(h+1)*D] = ex[:, h] via ONE MXU matmul;
+    # padded head rows (h ≥ true_h) and padded feature columns map to zero
+    expander = (
+        jax.lax.broadcasted_iota(jnp.int32, (hp, fp), 1) // d_dim
+        == jax.lax.broadcasted_iota(jnp.int32, (hp, fp), 0)
+    ).astype(jnp.float32)
+
+    # ---- pass 2: exp-weighted sums + denominators ----
+    def pass2_block(r, carry):
+        num_acc, den_acc = carry
+        start, end = block_ranges(r)
+        aligned = (start // CHUNK_E) * CHUNK_E
+        num_chunks = pl.cdiv(end - aligned, CHUNK_E)
+
+        def chunk(c, carry2):
+            num_acc, den_acc = carry2
+            e0 = pl.multiple_of(aligned + c * CHUNK_E, CHUNK_E)
+            load_chunk(e0, want_msgs=True)
+
+            def subrow(sub, carry3):
+                num_acc, den_acc = carry3
+                onehot, valid = subrow_parts(r, e0, sub, start, end)
+                oh = onehot.astype(jnp.float32)
+                logits = logit_buf[pl.ds(sub * SUBROW, SUBROW), :]
+                edge_max = jax.lax.dot_general(
+                    oh, node_max,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                mine = valid & onehot.any(axis=1)
+                ex = jnp.where(mine[:, None], jnp.exp(logits - edge_max), 0.0)
+                den_acc = den_acc + jax.lax.dot_general(
+                    oh, ex, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                ex_full = jax.lax.dot_general(
+                    ex, expander, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                weighted = msgs_buf[pl.ds(sub * SUBROW, SUBROW), :] * ex_full
+                num_acc = num_acc + jax.lax.dot_general(
+                    oh, weighted, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return num_acc, den_acc
+
+            return jax.lax.fori_loop(
+                0, CHUNK_E // SUBROW, subrow, (num_acc, den_acc)
+            )
+
+        return jax.lax.fori_loop(0, num_chunks, chunk, (num_acc, den_acc))
+
+    num0 = jnp.zeros(num_ref.shape, jnp.float32)
+    den0 = jnp.zeros(den_ref.shape, jnp.float32)
+    num_acc, den_acc = jax.lax.fori_loop(
+        0, num_blocks, pass2_block, (num0, den0)
+    )
+    num_ref[...] = num_acc
+    den_ref[...] = den_acc
+
+
+def _ssa_impl(logits, msgs, seg_sorted, tile_offsets, m, num_blocks, interpret):
+    e, h = logits.shape
+    _, f = msgs.shape
+    hp = h + ((-h) % 128)
+    d_dim = f // h  # per-head feature width (msgs layout head-major [E, H·D])
+    fp = f + ((-f) % 128)
+    logits_p = jnp.pad(logits, ((0, _pad_len(e)), (0, hp - h)))
+    msgs_p = jnp.pad(msgs, ((0, _pad_len(e)), (0, fp - f)))
+    seg_mat = _prep_dst(seg_sorted, e, num_blocks * m)
+    tiles_per_block = m // TILE_N
+    num_tiles = tiles_per_block
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_N, fp), lambda t, offs: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, hp), lambda t, offs: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, hp), lambda t, offs: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK_E, hp), jnp.float32),
+            pltpu.VMEM((CHUNK_E, fp), jnp.float32),
+            pltpu.VMEM((CHUNK_E // SUBROW, SUBROW), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    import functools
+
+    num, den, mx = pl.pallas_call(
+        functools.partial(
+            _softmax_agg_kernel, h, d_dim, num_blocks, tiles_per_block
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((m, fp), jnp.float32),
+            jax.ShapeDtypeStruct((m, hp), jnp.float32),
+            jax.ShapeDtypeStruct((m, hp), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_offsets, logits_p, msgs_p, seg_mat)
+    return num[:, :f], den[:, :h], mx[:, :h]
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def segment_softmax_agg_sorted(
+    logits: jax.Array,  # [E, H]
+    msgs: jax.Array,  # [E, H*D], head-major feature layout
+    seg_sorted: jax.Array,  # [E] block-major ids rel*m + node, ascending
+    tile_offsets: jax.Array,  # [num_blocks * (m/TILE_N) + 1] int32
+    m: int,  # padded node count (multiple of TILE_N, > max node id)
+    num_blocks: int,  # relation-block count
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused segment softmax + weighted aggregation over sorted block-major
+    edges: ``out[n] = Σ_e softmax_n(logits)_e · msgs_e`` where the softmax
+    normalizes over ALL of node n's edges across every relation block — the
+    HGT typed-attention reduction (models/encoders.py::HGTLayer) as ONE
+    kernel instead of segment_max + exp + mul + packed segment_sum + divide.
+
+    Edges must be sorted ascending by ``rel * m + node`` (the sampler's
+    src-sorted relation-major layout, same precondition as
+    ``segment_mean_base_sorted``).  Backward is pure XLA (gathers only, no
+    scatters): per-edge weights are recomputed from the saved per-node max
+    and denominator.
+    """
+    num, den, _mx = _ssa_impl(
+        logits, msgs, seg_sorted, tile_offsets, m, num_blocks, interpret
+    )
+    d_dim = msgs.shape[1] // logits.shape[1]
+    return num / jnp.repeat(jnp.maximum(den, 1e-16), d_dim, axis=1)
+
+
+def _ssa_fwd(logits, msgs, seg_sorted, tile_offsets, m, num_blocks, interpret):
+    num, den, mx = _ssa_impl(
+        logits, msgs, seg_sorted, tile_offsets, m, num_blocks, interpret
+    )
+    h = logits.shape[1]
+    d_dim = msgs.shape[1] // h
+    den_c = jnp.maximum(den, 1e-16)
+    out = num / jnp.repeat(den_c, d_dim, axis=1)
+    return out, (logits, msgs, seg_sorted, mx, den_c, out)
+
+
+def _ssa_bwd(m, num_blocks, interpret, res, g):
+    logits, msgs, seg_sorted, mx, den, out = res
+    e, h = logits.shape
+    d_dim = msgs.shape[1] // h
+    node = jnp.minimum(seg_sorted % m, m - 1)  # node id of each edge
+    w = jnp.exp(logits - mx[node]) / den[node]  # [E, H] recomputed weights
+    # zero the weights of padding edges (node row ≥ real count is harmless —
+    # their gradient lands on sliced-off rows anyway)
+    g_e = g[node]  # [E, H*D]
+    dmsgs = jnp.repeat(w, d_dim, axis=1) * g_e
+    # d logits[e,h] = w * (<msgs_e, g_n>_h - <out_n, g_n>_h)
+    mg = (msgs * g_e).reshape(e, h, d_dim).sum(-1)
+    og = (out * g).reshape(m, h, d_dim).sum(-1)  # [m, H]
+    dlogits = w * (mg - og[node])
+    return dlogits, dmsgs, None, None
+
+
+segment_softmax_agg_sorted.defvjp(_ssa_fwd, _ssa_bwd)

@@ -95,8 +95,14 @@ class AnalysisGNN(nn.Module):
                 enc_kwargs["final_norm"] = True
             if self.use_pallas:
                 enc_kwargs["use_pallas"] = True
-        if self.encoder_type.lower() == "hgt" and self.hgt_group_mode != "pair":
-            enc_kwargs["group_mode"] = self.hgt_group_mode
+        if self.encoder_type.lower() == "hgt":
+            if self.hgt_group_mode != "pair":
+                enc_kwargs["group_mode"] = self.hgt_group_mode
+            if self.use_pallas:
+                # the fused softmax/aggregation kernel needs the union
+                # capacity-binned layout (+ sampler-sorted edges)
+                enc_kwargs["group_mode"] = "emax"
+                enc_kwargs["use_pallas"] = True
         self.encoder = enc_cls(
             hidden=self.hidden_channels,
             num_layers=self.num_layers,

@@ -238,6 +238,11 @@ class HGTLayer(nn.Module):
     heads: int = 4
     edge_types: Tuple[EdgeType, ...] = ()
     group_mode: str = "pair"  # "pair" | "emax" (union-space capacity bins)
+    # Fuse the union softmax/aggregation into ONE Pallas kernel
+    # (kernels/pallas_segment.py::segment_softmax_agg_sorted).  Requires
+    # group_mode="emax" AND sampler-sorted edges (SamplerConfig.
+    # sort_edges_by_src), the same contract as the conv path's kernel.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -344,7 +349,41 @@ class HGTLayer(nn.Module):
             union_msgs.append(msg.reshape(n_rel * e_max, self.heads, h_dim))
             union_segs.append(segs.reshape(-1))
         out: Dict[str, jax.Array] = {}
-        if union_logits:
+        if union_logits and self.use_pallas and self.group_mode == "emax":
+            from analysisgnn_tpu.kernels.pallas_segment import (
+                TILE_N,
+                segment_softmax_agg_sorted,
+            )
+
+            logits = jnp.concatenate(union_logits, axis=0)  # [Eu, H]
+            msgs = jnp.concatenate(union_msgs, axis=0)  # [Eu, H, D]
+            # block-major sorted segment ids: every relation row of every
+            # stack is one block (rows stay src-sorted from the sampler,
+            # padding ids equal n_union < m so they sort last and land on a
+            # dummy row that the [:n_union] slice removes)
+            m = (n_union // TILE_N + 1) * TILE_N
+            seg_parts = []
+            block0 = 0
+            for idx, _rels in stacked_groups:
+                n_rel = idx.shape[0]
+                blk = block0 + jnp.arange(n_rel, dtype=idx.dtype)[:, None]
+                seg_parts.append((blk * m + idx[:, 0, :]).reshape(-1))
+                block0 += n_rel
+            seg_bm = jnp.concatenate(seg_parts)
+            offs = jnp.searchsorted(
+                seg_bm,
+                jnp.arange(0, block0 * m + 1, TILE_N, dtype=seg_bm.dtype),
+            ).astype(jnp.int32)
+            agg_union = segment_softmax_agg_sorted(
+                logits,
+                msgs.reshape(-1, self.hidden),
+                seg_bm,
+                offs,
+                m,
+                block0,
+                jax.default_backend() == "cpu",  # interpret off-TPU
+            )[:n_union]
+        elif union_logits:
             logits = jnp.concatenate(union_logits, axis=0)  # [Eu, H]
             msgs = jnp.concatenate(union_msgs, axis=0)  # [Eu, H, D]
             segs = jnp.concatenate(union_segs, axis=0)  # [Eu]
@@ -395,6 +434,7 @@ class HybridHGT(nn.Module):
     use_jk: bool = True
     edge_types: Tuple[EdgeType, ...] = ()
     group_mode: str = "pair"  # see HGTLayer.group_mode
+    use_pallas: bool = False  # see HGTLayer.use_pallas
 
     @nn.compact
     def __call__(
@@ -416,7 +456,8 @@ class HybridHGT(nn.Module):
         for i in range(self.num_layers):
             h = HGTLayer(
                 self.hidden, self.heads, self.edge_types,
-                group_mode=self.group_mode, name=f"layer_{i}"
+                group_mode=self.group_mode, use_pallas=self.use_pallas,
+                name=f"layer_{i}"
             )(h, edge_index_dict, stacked)
             h = {
                 t: nn.Dropout(self.dropout)(v, deterministic=deterministic)

@@ -71,3 +71,64 @@ def test_segment_softmax_sorted_stability():
     )
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got[:2].sum(), 1.0, rtol=1e-3)
+
+
+def test_segment_softmax_agg_sorted_matches_reference():
+    """Fused HGT attention reduction (max + exp-weighted sum + denom in one
+    kernel) vs the plain-jnp segment softmax math, values AND gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from analysisgnn_tpu.kernels.pallas_segment import (
+        TILE_N,
+        segment_softmax_agg_sorted,
+    )
+
+    rng = np.random.default_rng(0)
+    n_real, h, d, r_blocks = 300, 4, 8, 3
+    m = ((n_real + 1) // TILE_N + 1) * TILE_N
+    per_block = [257, 1100, 64]  # straddles chunk boundaries
+    segs, logits, msgs = [], [], []
+    for r, e in enumerate(per_block):
+        nodes = np.sort(rng.integers(0, n_real, e))
+        segs.append(r * m + nodes)
+        logits.append(rng.normal(size=(e, h)).astype(np.float32))
+        msgs.append(rng.normal(size=(e, h * d)).astype(np.float32))
+    seg = jnp.asarray(np.concatenate(segs))
+    logits = jnp.asarray(np.concatenate(logits))
+    msgs = jnp.asarray(np.concatenate(msgs))
+    offsets = jnp.searchsorted(
+        seg, jnp.arange(0, r_blocks * m + 1, TILE_N, dtype=seg.dtype)
+    ).astype(jnp.int32)
+
+    def reference(logits, msgs):
+        node = seg % m
+        mx = jax.ops.segment_max(logits, node, num_segments=m)
+        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        ex = jnp.exp(logits - mx[node])
+        den = jnp.maximum(
+            jax.ops.segment_sum(ex, node, num_segments=m), 1e-16
+        )
+        w = ex / den[node]
+        wm = msgs.reshape(-1, h, d) * w[..., None]
+        return jax.ops.segment_sum(
+            wm.reshape(-1, h * d), node, num_segments=m
+        )
+
+    fused = lambda lo, ms: segment_softmax_agg_sorted(
+        lo, ms, seg, offsets, m, r_blocks, True  # interpret on CPU
+    )
+    out_ref = reference(logits, msgs)
+    out_fused = fused(logits, msgs)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+    )
+
+    # gradients: scalar loss weighting only REAL node rows
+    key_w = jnp.asarray(rng.normal(size=(n_real, h * d)).astype(np.float32))
+    loss_ref = lambda lo, ms: (reference(lo, ms)[:n_real] * key_w).sum()
+    loss_fused = lambda lo, ms: (fused(lo, ms)[:n_real] * key_w).sum()
+    gr_l, gr_m = jax.grad(loss_ref, argnums=(0, 1))(logits, msgs)
+    gf_l, gf_m = jax.grad(loss_fused, argnums=(0, 1))(logits, msgs)
+    np.testing.assert_allclose(np.asarray(gf_l), np.asarray(gr_l), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf_m), np.asarray(gr_m), rtol=1e-4, atol=1e-5)
