@@ -56,7 +56,8 @@ def build_workload():
         for task, n_cls in tasks:
             attrs[task] = rng.integers(0, n_cls, size=len(na)).astype(np.int64)
         samples.append(ScoreSample(features=features, edges=g.edges, note_attrs=attrs))
-    cfg = SamplerConfig(subgraph_size=500, batch_size=8, num_neighbors=(5, 5), seed=0)
+    cfg = SamplerConfig(subgraph_size=500, batch_size=8, num_neighbors=(5, 5), seed=0,
+                        sort_edges_by_src=True)  # Pallas arms need sorted edges
     sampler = SubgraphSampler(samples, cfg)
     batches = [jax.device_put(sampler.sample_batch()) for _ in range(4)]
     jax.block_until_ready(batches)
@@ -73,8 +74,11 @@ def bench_encoder(encoder_type: str, tasks, batches, steps: int = 24) -> dict:
     from analysisgnn_tpu.train.step import StepConfig, make_train_step
 
     nodes, edges_meta = metadata(True, True)
-    # "HGT-emax" = HGT with union-space capacity-binned relation stacks
+    # "HGT-emax" = union-space capacity-binned relation stacks;
+    # "HGT-emax-pallas" additionally fuses the softmax/aggregation kernel
     enc, _, variant = encoder_type.lower().partition("-")
+    use_pallas = variant.endswith("pallas")
+    group_mode = variant.split("-")[0] or "pair"
     model = AnalysisGNN(
         metadata=(nodes, edges_meta),
         in_channels=25,
@@ -84,7 +88,8 @@ def bench_encoder(encoder_type: str, tasks, batches, steps: int = 24) -> dict:
         num_layers=3,
         dropout=0.3,
         encoder_type=enc,
-        hgt_group_mode=variant or "pair",
+        hgt_group_mode=group_mode,
+        use_pallas=use_pallas,
     )
     batch = batches[0]
     attrs = batch.node_attrs[NOTE]
