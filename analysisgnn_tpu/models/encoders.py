@@ -57,6 +57,12 @@ class HybridGNN(nn.Module):
     final_norm: bool = False
     # Pallas fused mean-with-base aggregation (needs src-sorted edges)
     use_pallas: bool = False
+    # Rematerialize each conv layer in the backward pass (jax.checkpoint):
+    # trades one extra forward of FLOPs for not storing per-edge message
+    # activations — the HBM lever for full-graph training on very long
+    # scores (a 100k-note score materializes ~1M-edge message tensors per
+    # layer; remat keeps only the [N, H] layer inputs alive).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -68,8 +74,9 @@ class HybridGNN(nn.Module):
     ) -> jax.Array:
         h = dict(x_dict)
         note_states = []
+        conv_cls = nn.remat(HeteroConv) if self.remat else HeteroConv
         for i in range(self.num_layers):
-            h = HeteroConv(
+            h = conv_cls(
                 self.hidden,
                 self.edge_types,
                 use_pallas=self.use_pallas,

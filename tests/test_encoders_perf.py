@@ -284,3 +284,26 @@ def test_hgt_emax_pallas_matches_xla_path():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(c), rtol=5e-4, atol=5e-5
         )
+
+
+def test_hybridgnn_remat_gradients_identical():
+    """remat=True (jax.checkpoint per conv layer) changes memory, not math."""
+    import jax
+    import jax.numpy as jnp
+
+    from analysisgnn_tpu.core.graph import metadata
+    from analysisgnn_tpu.models.encoders import HybridGNN
+
+    rng = np.random.default_rng(7)
+    n = 32
+    x = {NOTE: jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))}
+    _, ets = metadata(False, False)
+    note_ets = tuple(e for e in ets if e[0] == NOTE and e[2] == NOTE)
+    edges = {et: jnp.asarray(rng.integers(0, n, (2, 40))) for et in note_ets}
+    e0 = HybridGNN(hidden=16, num_layers=2, edge_types=ets, remat=False)
+    e1 = HybridGNN(hidden=16, num_layers=2, edge_types=ets, remat=True)
+    p = e0.init(jax.random.PRNGKey(0), x, edges)
+    g0 = jax.grad(lambda p: jnp.sum(e0.apply(p, x, edges) ** 2))(p)
+    g1 = jax.grad(lambda p: jnp.sum(e1.apply(p, x, edges) ** 2))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
