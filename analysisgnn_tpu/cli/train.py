@@ -74,6 +74,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--random_split", action="store_true")
     p.add_argument("--logit_fusion", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize conv layers in backward (memory lever "
+                        "for full-graph training on very long scores)")
     p.add_argument("--hgt_group_mode", type=str, default="pair",
                    choices=["pair", "emax"],
                    help="HGT relation-stack grouping (emax = union-space "
@@ -236,6 +239,7 @@ def main(argv=None) -> None:
         final_norm=config.get("final_norm", False),
         use_pallas=config.get("use_pallas", False),
         hgt_group_mode=config.get("hgt_group_mode", "pair"),
+        remat=config.get("remat", False),
         logit_fusion=config.get("logit_fusion", False),
         use_rnn=config.get("use_rnn", False),
         mt_strategy=config.get("mt_strategy", "wloss"),

@@ -76,6 +76,8 @@ class AnalysisGNN(nn.Module):
     # layer with bounded padding, exactness-tested in
     # tests/test_encoders_perf.py)
     hgt_group_mode: str = "pair"
+    # per-layer rematerialization (HybridGNN memory lever, encoders.py)
+    remat: bool = False
 
     def setup(self):
         node_types, edge_types = self.metadata
@@ -95,6 +97,8 @@ class AnalysisGNN(nn.Module):
                 enc_kwargs["final_norm"] = True
             if self.use_pallas:
                 enc_kwargs["use_pallas"] = True
+            if self.remat:
+                enc_kwargs["remat"] = True
         if self.encoder_type.lower() == "hgt":
             if self.hgt_group_mode != "pair":
                 enc_kwargs["group_mode"] = self.hgt_group_mode

@@ -77,6 +77,9 @@ class TrainConfig:
     use_pallas: bool = False
     # HGT relation-stack grouping ("pair" | "emax", models/encoders.py)
     hgt_group_mode: str = "pair"
+    # per-layer rematerialization (HybridGNN): memory lever for very long
+    # full-graph training (models/encoders.py::HybridGNN.remat)
+    remat: bool = False
     mt_strategy: str = "wloss"
     lambda_dctn: float = 0.5
     lambda_featl: float = 0.1
@@ -127,6 +130,7 @@ class Trainer:
             final_norm=config.final_norm,
             use_pallas=config.use_pallas,
             hgt_group_mode=config.hgt_group_mode,
+            remat=config.remat,
         )
         self.history: List[Dict] = []
         self.best_val = float("inf")
