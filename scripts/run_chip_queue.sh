@@ -1,0 +1,28 @@
+#!/bin/bash
+# One-shot on-chip measurement queue (run on an otherwise-idle machine).
+# Each step tolerates the tunnel worker's intermittent crash/restart by
+# retrying once; results land in bench_queue/.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench_queue
+
+run() {  # run <name> <cmd...>
+    local name=$1; shift
+    echo "=== $name: $*" >&2
+    for attempt in 1 2; do
+        if timeout 1800 "$@" >"bench_queue/$name.out" 2>"bench_queue/$name.err"; then
+            echo "=== $name ok (attempt $attempt)" >&2
+            tail -2 "bench_queue/$name.out" >&2
+            return 0
+        fi
+        echo "=== $name FAILED attempt $attempt (rc=$?)" >&2
+        sleep 30
+    done
+    return 1
+}
+
+run bench            python bench.py
+run encoders         python scripts/bench_encoders.py HybridGNN HybridGNN-pallas HGT HGT-emax HGT-emax-pallas MetricalGNN
+run inference        python scripts/bench_inference.py 10000
+run scan_k12         python scripts/bench_scan_ab.py 12
+echo "=== queue done ===" >&2
