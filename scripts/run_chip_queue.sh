@@ -8,9 +8,10 @@ mkdir -p bench_queue
 
 run() {  # run <name> <cmd...>
     local name=$1; shift
+    local tmo=${QUEUE_TIMEOUT:-1800}
     echo "=== $name: $*" >&2
     for attempt in 1 2; do
-        if timeout 1800 "$@" >"bench_queue/$name.out" 2>"bench_queue/$name.err"; then
+        if timeout "$tmo" "$@" >"bench_queue/$name.out" 2>"bench_queue/$name.err"; then
             echo "=== $name ok (attempt $attempt)" >&2
             tail -2 "bench_queue/$name.out" >&2
             return 0
@@ -25,4 +26,8 @@ run bench            python bench.py
 run encoders         python scripts/bench_encoders.py HybridGNN HybridGNN-pallas HGT HGT-emax HGT-emax-pallas MetricalGNN
 run inference        python scripts/bench_inference.py 10000
 run scan_k12         python scripts/bench_scan_ab.py 12
+# task-metric arms for the other two encoder families (same synthetic
+# corpus + budget as RESULTS.md's HybridGNN arm and torch anchor)
+QUEUE_TIMEOUT=7200 run parity_hgt       python scripts/parity_experiment.py jax results_jax_hgt.json ckpt_hgt --model HGT --hgt_group_mode emax --lr 1e-3 --dropout 0.0
+QUEUE_TIMEOUT=7200 run parity_metrical  python scripts/parity_experiment.py jax results_jax_metrical.json ckpt_metrical --model MetricalGNN --lr 1e-3 --dropout 0.0
 echo "=== queue done ===" >&2
