@@ -100,3 +100,40 @@ class PitchSpellingGNN(nn.Module):
             self.out_enc // 2, KS_CLASSES, self.dropout, name="mlp_ks"
         )(zk, deterministic=deterministic)
         return pc_logits, ks_logits
+
+
+class PitchSpellingNeighborGNN(nn.Module):
+    """Neighbor-sampled variant: HierarchicalHeteroSage encoder → norm →
+    pitch-class head conditioning the key-signature head (reference
+    ``PitchSpellingNeighborGNN``, pitch_spelling.py:239-266; LayerNorm in
+    place of BatchNorm1d — batch statistics are ill-defined under padded
+    static-shape batches)."""
+
+    hidden: int
+    out_enc: int
+    num_layers: int = 2
+    dropout: float = 0.0
+    edge_types: Tuple[EdgeType, ...] = ()
+
+    @nn.compact
+    def __call__(
+        self,
+        x_dict: Dict[str, jax.Array],
+        edge_index_dict: Dict[EdgeType, jax.Array],
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        from analysisgnn_tpu.models.cadence import HierarchicalHeteroSage
+
+        z = HierarchicalHeteroSage(
+            self.hidden, self.out_enc, self.num_layers,
+            edge_types=self.edge_types, name="encoder",
+        )(x_dict, edge_index_dict)
+        z = nn.LayerNorm(name="norm")(z)
+        pc_logits = ProjectionMLP(
+            self.out_enc // 2, PITCH_CLASSES, self.dropout, name="mlp_pc"
+        )(z, deterministic=deterministic)
+        zk = jnp.concatenate([z, jax.nn.softmax(pc_logits, -1)], axis=-1)
+        ks_logits = ProjectionMLP(
+            self.out_enc // 2, KS_CLASSES, self.dropout, name="mlp_ks"
+        )(zk, deterministic=deterministic)
+        return pc_logits, ks_logits

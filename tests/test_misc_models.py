@@ -55,3 +55,23 @@ def test_graph_sampler_walks():
     assert len(sel) >= 1
     if sub.shape[1]:
         assert sub.max() < len(sel)
+
+
+def test_pitch_spelling_neighbor_gnn():
+    import jax
+    import numpy as np
+
+    from analysisgnn_tpu.core.graph import NOTE, metadata
+    from analysisgnn_tpu.models.pitch_spelling import PitchSpellingNeighborGNN
+
+    rng = np.random.default_rng(0)
+    n = 24
+    _, ets = metadata(False, False)
+    x = {NOTE: jax.numpy.asarray(rng.normal(size=(n, 12)).astype(np.float32))}
+    note_ets = tuple(e for e in ets if e[0] == NOTE and e[2] == NOTE)
+    edges = {et: jax.numpy.asarray(rng.integers(0, n, (2, 30))) for et in note_ets}
+    model = PitchSpellingNeighborGNN(hidden=16, out_enc=16, edge_types=ets)
+    params = model.init(jax.random.PRNGKey(0), x, edges)
+    pc, ks = model.apply(params, x, edges)
+    assert pc.shape == (n, 35) and ks.shape == (n, 15)
+    assert np.isfinite(np.asarray(pc)).all()
