@@ -33,8 +33,26 @@ SPEED_OF_LIGHT_EDGES_PER_S = 1e9
 
 def main() -> None:
     import os
+    import threading
 
     import jax
+
+    # Backend-init watchdog: when the tunnel TPU service is down,
+    # jax.devices() blocks forever waiting to claim a chip — which would
+    # hang the driver's round-end bench indefinitely.  Bound the wait and
+    # exit loudly instead (no fake numbers).
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(timeout=300):
+            print(
+                "[bench] FATAL: TPU backend failed to initialize within "
+                "300 s (tunnel worker down?) — aborting without a result",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(17)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     # persistent compilation cache: repeat runs skip the (minutes-long)
     # remote compile of the train step
@@ -45,6 +63,8 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
+    _phase(f"devices: {jax.devices()}")
+    init_done.set()
 
     from analysisgnn_tpu.core.graph import NOTE, metadata
     from analysisgnn_tpu.data.features import select_features
