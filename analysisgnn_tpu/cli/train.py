@@ -279,7 +279,15 @@ def main(argv=None) -> None:
                 "final_norm": tc.final_norm,
                 "logit_fusion": tc.logit_fusion,
                 "use_rnn": tc.use_rnn,
-                "hgt_group_mode": tc.hgt_group_mode,
+                # EFFECTIVE grouping: --use_pallas forces the emax union
+                # layout for HGT (models/analysis.py); predict must rebuild
+                # the same param tree (it then uses the XLA path — identical
+                # params and math, no sorted-edge precondition)
+                "hgt_group_mode": (
+                    "emax"
+                    if tc.model.lower() == "hgt" and tc.use_pallas
+                    else tc.hgt_group_mode
+                ),
                 "add_beats": tc.add_beats,
                 "add_measures": tc.add_measures,
                 "in_channels": dm.feature_dim,

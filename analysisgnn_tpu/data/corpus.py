@@ -86,12 +86,24 @@ def samples_from_note_array(
             "voice": na_t["voice"].astype(np.int64),
             "staff": na_t["staff"].astype(np.int64),
         }
+        n_notes = len(na_t)
         if labels:
             for k, v in labels.items():
                 attrs[k] = np.asarray(v)
         if label_fn is not None:
             for k, v in label_fn(interval).items():
                 attrs[k] = np.asarray(v)
+        for k, v in attrs.items():
+            # labels must be per-note aligned: a mismatch means the label
+            # source saw a different row set than the note array (e.g. an
+            # uncleaned frame) and every label after the first divergent
+            # row would silently shift
+            if v.shape[:1] != (n_notes,):
+                raise ValueError(
+                    f"label {k!r} has {v.shape[0]} rows for {n_notes} notes "
+                    f"({name}); build labels from the SAME cleaned frame as "
+                    "the note array (data/tsv.py::clean_pitch_frame)"
+                )
         features = {NOTE: feats}
         if add_beats or add_measures:
             features.update(
@@ -306,13 +318,17 @@ class DLCTsvCorpus(GraphCorpus):
 
     def process_file(self, path: str) -> List[ScoreSample]:
         from analysisgnn_tpu.data.tsv import (
+            clean_pitch_frame,
             create_labels_augmentednet,
             create_labels_dlc,
             load_pitch_array,
             note_array_from_df,
         )
 
-        df = load_pitch_array(path, dropna_tpc=self.dlc)
+        # clean ONCE and derive both the note array and the labels from the
+        # same cleaned frame — cleaning may drop unplaceable rows, and
+        # labeling the raw frame would shift every label after a dropped row
+        df = clean_pitch_frame(load_pitch_array(path, dropna_tpc=self.dlc))
         na, measures = note_array_from_df(df)
         name = os.path.splitext(os.path.basename(path))[0]
         is_test = name in self.test_names

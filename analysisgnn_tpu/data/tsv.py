@@ -36,18 +36,22 @@ def load_pitch_array(path: str, dropna_tpc: bool = True) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def note_array_from_df(df: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
-    """Assemble the framework note array + measure spans from a DLC/AN frame
-    (reference create_graph_from_df :130-171)."""
+def clean_pitch_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Schema hardening for real-world pitch arrays: coerce the numeric
+    columns (files in the wild carry float-typed div columns, stray strings,
+    and NA cells at pickup measures) and DROP rows with no usable
+    onset/pitch — they cannot be placed in the graph (the reference's
+    dtype-spec loader would instead raise, dcl_tsv_utils.py:78-96 —
+    divergence documented).
+
+    IMPORTANT: any consumer that builds per-note labels from the same frame
+    (data/corpus.py::process_file) must clean the frame FIRST and derive
+    both the note array and the labels from the cleaned frame — otherwise a
+    dropped row silently shifts every subsequent label.  Idempotent.
+    """
     df = df.copy()
     if "continuous_beats" in df.columns:
         df["onset_beat"] = df["continuous_beats"]
-    # schema hardening for real-world pitch arrays: coerce the numeric
-    # columns (files in the wild carry float-typed div columns, stray
-    # strings, and NA cells at pickup measures); rows with no usable
-    # onset/pitch cannot be placed in the graph and are dropped (the
-    # reference's dtype-spec loader would instead raise, dcl_tsv_utils.py
-    # :78-96 — divergence documented)
     for col in ("onset_div", "duration_div", "onset_beat"):
         if col in df.columns:
             df[col] = pd.to_numeric(df[col], errors="coerce")
@@ -61,14 +65,26 @@ def note_array_from_df(df: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
     df[pitch_col] = pd.to_numeric(df[pitch_col], errors="coerce")
     usable = df["onset_div"].notna() & df[pitch_col].notna()
     df = df[usable].reset_index(drop=True)
+    # duration default is 1 div whether the column is missing entirely or a
+    # cell is NA (a 0 default would create zero-extent notes for the
+    # during/consecutive edge builders)
     df["duration_div"] = df.get(
         "duration_div", pd.Series([1] * len(df))
-    ).fillna(0)
+    ).fillna(1)
     if "ts_beats" not in df.columns:
         df["ts_beats"] = 4
     df["ts_beats"] = (
         pd.to_numeric(df["ts_beats"], errors="coerce").fillna(4).astype(int)
     )
+    return df
+
+
+def note_array_from_df(df: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
+    """Assemble the framework note array + measure spans from a DLC/AN frame
+    (reference create_graph_from_df :130-171).  Applies
+    :func:`clean_pitch_frame` (idempotent) — callers that also build labels
+    must clean the frame themselves and label from the cleaned frame."""
+    df = clean_pitch_frame(df)
     if "onset_beat" not in df.columns or df["onset_beat"].isna().all():
         df["onset_beat"] = df["onset_div"].astype(float)
     elif df["onset_beat"].isna().any():
@@ -89,6 +105,8 @@ def note_array_from_df(df: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
         divs_per_beat = 1.0
     else:
         divs_per_beat = diff_div[0] / diff_beat[0]
+    if "pitch" not in df.columns:
+        df["pitch"] = df["s_midi"]
     if "step" not in df.columns:
         if "s_step" in df.columns:
             df["step"] = df["s_step"]
@@ -99,8 +117,6 @@ def note_array_from_df(df: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
             pcs = df["pitch"].to_numpy(np.int64) % 12
             df["step"] = [_PC_TO_SPELLING[p][0] for p in pcs]
             df["alter"] = [_PC_TO_SPELLING[p][1] for p in pcs]
-    if "pitch" not in df.columns:
-        df["pitch"] = df["s_midi"]
     if "staff" not in df.columns:
         if "s_part_id" in df.columns:
             staffs = {s: i for i, s in enumerate(df["s_part_id"].unique())}

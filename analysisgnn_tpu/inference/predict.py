@@ -139,14 +139,19 @@ def predict_score(
         e = np.exp(x)
         return e / e.sum(-1, keepdims=True)
 
-    probs = {k: _softmax(v) for k, v in logits.items()}
+    # the RNA smoothing uses the tpc mask even when that task isn't requested
+    tpc_mask = (
+        np.asarray(logits["tpc_in_label"]).argmax(-1)
+        if "tpc_in_label" in logits
+        else None
+    )
     if tasks:
-        probs = {k: v for k, v in probs.items() if k in tasks}
+        # filter BEFORE the host transfer + softmax: a task subset on a long
+        # score should not materialize all 21 heads' float64 probabilities
+        logits = {k: v for k, v in logits.items() if k in tasks}
+    probs = {k: _softmax(v) for k, v in logits.items()}
     onset_edges = np.asarray(graph.edges((NOTE, "onset", NOTE)))
     ne = int(graph.num_edges["note__onset__note"])
-    tpc_mask = (
-        probs["tpc_in_label"].argmax(-1) if "tpc_in_label" in probs else None
-    )
     return onsetwise_smooth(
         probs,
         onset_edges[:, :ne],

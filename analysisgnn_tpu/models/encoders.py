@@ -155,21 +155,31 @@ def stack_edge_groups_emax(
     edge_index_dict: Dict[EdgeType, jax.Array],
     edge_types: Tuple[EdgeType, ...],
     x_dict: Dict[str, jax.Array],
-    bin_factor: float = 2.0,
 ) -> Tuple[Tuple[jax.Array, Tuple[EdgeType, ...]], ...]:
     """Bin ALL relations into union-node-space ``[R, 2, E_max]`` stacks by
-    edge capacity instead of by (src_type, dst_type) pair.
+    STATIC relation family instead of by (src_type, dst_type) pair.
 
     The round-2 negative result (docs/STATUS.md: 299.8 → 446.8 ms) ruled out
     ONE global stack — the beat/measure relations inherited the note-note
     relations' E_max and the padding exploded.  The permitted grain is
-    *bounded padding*: sort relations by capacity and greedily bin while the
-    group's largest capacity stays within ``bin_factor``× its smallest
-    (at the bench workload's calibrated capacities, bin_factor=2 gives
-    3 stacks at ~15% padded rows vs the pair grouping's 7 stacks at ~41%).
-    On the metrical score graph this collapses the eight (src,dst) pair
-    groups into two or three stacks — ~4× fewer gathers/einsums per layer
-    on a dispatch-overhead-bound runtime — while padding stays bounded.
+    *bounded padding*: three families whose members have comparable
+    capacities on score graphs —
+
+      g0  note↔note relations (onset/consecutive/during/rest + reverses)
+      g1  cross-type relations (note↔beat, note↔measure, …)
+      g2  same-type chains (beat→beat, measure→measure)
+
+    — collapsing the eight (src,dst) pair groups to three stacks (~4× fewer
+    gathers/einsums per layer on a dispatch-overhead-bound runtime) at the
+    pair grouping's padding level (~42% padded rows on the bench workload).
+
+    The family assignment and the in-group relation order depend ONLY on
+    the edge-type metadata — never on live edge counts — so the parameter
+    structure (``watt_g0`` …) is identical across sampled batches, eval
+    graphs, and predict-time full graphs, and checkpoints restore anywhere.
+    (A capacity-sorted binning was measurably tighter on padding — ~15 % —
+    but makes the param tree a function of the input graph's shapes, which
+    breaks checkpoint restore; rejected.)
 
     Edge ids are remapped to the union node space (src also marks padding
     with the union out-of-range id), so one gather from the concatenated
@@ -181,14 +191,22 @@ def stack_edge_groups_emax(
         for et in edge_types
         if et in edge_index_dict and et[0] in x_dict and et[2] in x_dict
     ]
-    rels.sort(key=lambda et: (-edge_index_dict[et].shape[1], et))
-    groups: list = []
-    for et in rels:
-        e = edge_index_dict[et].shape[1]
-        if groups and groups[-1][0] <= bin_factor * e:
-            groups[-1][1].append(et)
-        else:
-            groups.append([e, [et]])
+
+    def family(et: EdgeType) -> int:
+        src_t, _, dst_t = et
+        if src_t == NOTE and dst_t == NOTE:
+            return 0
+        if src_t != dst_t:
+            return 1
+        return 2
+
+    groups_by_family: Dict[int, list] = {}
+    for et in sorted(rels):  # canonical in-group order: edge-type tuple
+        groups_by_family.setdefault(family(et), []).append(et)
+    groups = [
+        (max(edge_index_dict[et].shape[1] for et in ets), ets)
+        for _fam, ets in sorted(groups_by_family.items())
+    ]
     out = []
     for e_max, ets in groups:
         stacked = []

@@ -93,8 +93,11 @@ def node_subgraph(
     ``edges`` maps edge types — ``(src_type, relation, dst_type)`` tuples —
     to ``[2, E]`` int arrays; ``num_nodes`` gives the per-type node counts.
     Keeps a non-note node (beat/measure) iff it remains connected to a kept
-    note, then chains beat→beat / measure→measure edges among survivors.
-    Node ids are relabeled compactly per type.
+    note; beat→beat / measure→measure chain edges survive only when BOTH
+    endpoints are kept (an intermediate dropped beat breaks the chain — no
+    new shortcut edges are synthesized, unlike the reference's contiguous
+    window slicing which cannot create gaps).  Node ids are relabeled
+    compactly per type.
 
     Unlike the reference ``node_subgraph`` (hgraph.py:404-452), which
     assumes a *contiguous* note window (it subtracts ``nodes.min()``), this

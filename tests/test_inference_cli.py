@@ -174,3 +174,29 @@ def test_resolve_checkpoint_chain(tmp_path):
     with pytest.raises(FileNotFoundError):
         resolve_checkpoint(str(tmp_path / "nope2"), "best",
                            str(tmp_path / "empty"))
+
+
+def test_cli_train_predict_roundtrip_hgt_emax(tmp_path):
+    """HGT emax checkpoints must restore at predict time: the union-stack
+    param structure is static (family-based), not a function of the live
+    graph's edge counts (round-2 review finding)."""
+    from analysisgnn_tpu.cli import predict as predict_cli
+    from analysisgnn_tpu.cli import train as train_cli
+
+    ckpt = str(tmp_path / "ckpt")
+    train_cli.main([
+        "--demo", "--do_train", "--model", "HGT", "--hgt_group_mode", "emax",
+        "--num_layers", "1", "--hidden_channels", "16", "--out_channels", "8",
+        "--num_epochs", "1", "--subgraph_size", "24", "--batch_size", "20",
+        "--main_tasks", "all", "--checkpoint_dir", ckpt,
+        "--max_steps_per_epoch", "2",
+    ])
+    score = tmp_path / "score.xml"
+    score.write_text(SCORE_XML)
+    out_csv = str(tmp_path / "analysis.csv")
+    predict_cli.main([
+        "--score", str(score), "--checkpoint_dir", ckpt, "--checkpoint", "last",
+        "--output_csv", out_csv,
+    ])
+    rows = list(csv.reader(open(out_csv)))
+    assert len(rows) == 7  # 6 notes + header

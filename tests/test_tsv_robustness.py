@@ -86,3 +86,34 @@ def test_empty_after_drop():
     df["onset_div"] = np.nan
     na, measures = note_array_from_df(df)
     assert len(na) == 0 and measures is None
+
+
+def test_dropped_rows_keep_labels_aligned(tmp_path):
+    """A dropped unplaceable row must NOT shift the labels of subsequent
+    notes: corpus.process_file cleans once and labels from the cleaned
+    frame (the raw-frame labeling bug found in round-2 review)."""
+    from analysisgnn_tpu.data.corpus import CorpusConfig, DLCTsvCorpus
+
+    df = make_dlc_df(32)
+    df["onset_div"] = df["onset_div"].astype(object)
+    # make note 5's localkey distinctive, then break note 3's onset
+    df["a_localKey"] = ["C"] * 32
+    df.loc[5:, "a_localKey"] = "G"
+    df.loc[3, "onset_div"] = np.nan
+    d = tmp_path / "all"
+    d.mkdir()
+    df.to_csv(d / "x.tsv", sep="\t", index=False)
+    corpus = DLCTsvCorpus(
+        CorpusConfig(cache_dir=str(tmp_path / ".cache"), transpose=False),
+        source_dir=str(tmp_path),
+    )
+    samples = corpus.process_file(str(d / "x.tsv"))
+    s = samples[0]
+    n = len(s.note_attrs["localkey"])
+    assert n == 31  # one row dropped
+    # notes 0..4 in the ORIGINAL frame were C; after dropping row 3 the
+    # kept rows 0,1,2,4 are C and everything from original row 5 on is G —
+    # i.e. the first 4 kept labels equal the C id, the rest the G id
+    lk = s.note_attrs["localkey"]
+    assert len(set(lk[:4])) == 1 and len(set(lk[4:])) == 1
+    assert lk[0] != lk[-1]
