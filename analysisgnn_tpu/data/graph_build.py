@@ -250,3 +250,28 @@ def reference_edges_bruteforce(note_array: np.ndarray) -> Dict[str, np.ndarray]:
         else np.zeros((2, 0), np.int64)
         for k in src
     }
+
+
+# canonical homogeneous edge-type ids (reference HeteroScoreGraph.etypes,
+# analysisgnn/utils/hgraph.py:17-26 / legacy graph.py:145-256)
+ETYPE_IDS = {"onset": 0, "consecutive": 1, "during": 2, "rest": 3}
+
+
+def homogeneous_graph_from_note_array(
+    note_array: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Legacy homogeneous view: one ``[2, E]`` edge index + an ``[E]``
+    edge-type id vector over the 4 base note relations (reference
+    ``graph_from_note_array``, analysisgnn/utils/graph.py:145-256, and the
+    ``HeteroScoreGraph`` etype map, hgraph.py:17-26).  Built from the same
+    vectorized typed builder as the hetero path."""
+    g = build_score_graph(note_array, add_beats=False, add_measures=False)
+    parts, types = [], []
+    for rel, tid in ETYPE_IDS.items():
+        for et, ei in g.edges.items():
+            if et[1] == rel:
+                parts.append(np.asarray(ei))
+                types.append(np.full(ei.shape[1], tid, np.int64))
+    if not parts:
+        return np.zeros((2, 0), np.int64), np.zeros(0, np.int64)
+    return np.concatenate(parts, axis=1), np.concatenate(types)

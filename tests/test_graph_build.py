@@ -149,3 +149,23 @@ def test_cadence_descriptors_semantics():
     # last-onset notes have no next voice notes → voice_ends
     assert f[i_chord_rows, col["voice_ends"]].all()
     assert np.isfinite(f).all()
+
+
+def test_homogeneous_graph_view():
+    from analysisgnn_tpu.data.graph_build import (
+        ETYPE_IDS,
+        build_score_graph,
+        homogeneous_graph_from_note_array,
+    )
+    from analysisgnn_tpu.data.note_array import synthetic_score
+
+    na = synthetic_score(num_notes=60, seed=0)
+    ei, et = homogeneous_graph_from_note_array(na)
+    g = build_score_graph(na, add_beats=False, add_measures=False)
+    base = {rel: 0 for rel in ETYPE_IDS}
+    for k, v in g.edges.items():
+        if k[1] in base:
+            base[k[1]] += v.shape[1]
+    assert ei.shape[1] == et.shape[0] == sum(base.values())
+    for rel, tid in ETYPE_IDS.items():
+        assert int((et == tid).sum()) == base[rel]
