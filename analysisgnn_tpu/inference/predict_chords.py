@@ -78,15 +78,25 @@ def predict_chord_tasks(
     if params is None:
         params = model.init(jax.random.PRNGKey(seed), *args)
     logits, group_valid = jax.jit(model.apply)(params, *args)
-    probs = {k: jax.nn.softmax(v, -1) for k, v in logits.items()}
+
+    # host numpy softmax: per-task jax.nn.softmax would compile once per
+    # task shape (~14 small XLA compiles) on the one-score predict path
+    def _softmax(x):
+        x = np.asarray(x, np.float64)
+        x = x - x.max(-1, keepdims=True)
+        e = np.exp(x)
+        return e / e.sum(-1, keepdims=True)
+
+    probs = {k: _softmax(v) for k, v in logits.items()}
     if use_post:
         post = PostProcessingMLT(hidden=hidden, task_dict=task_dict)
         starts = segment_starts(
             jnp.where(group_valid, jnp.zeros(n, jnp.int32), -1)
         )
-        post_params = post.init(jax.random.PRNGKey(seed + 1), probs, starts)
-        smoothed = jax.jit(post.apply)(post_params, probs, starts)
-        probs = {k: jax.nn.softmax(v, -1) for k, v in smoothed.items()}
+        probs_dev = {k: jnp.asarray(v, jnp.float32) for k, v in probs.items()}
+        post_params = post.init(jax.random.PRNGKey(seed + 1), probs_dev, starts)
+        smoothed = jax.jit(post.apply)(post_params, probs_dev, starts)
+        probs = {k: _softmax(v) for k, v in smoothed.items()}
     valid = np.asarray(group_valid)
     out = {k: np.asarray(v)[valid] for k, v in probs.items()}
     onsets = np.unique(note_array["onset_div"])
