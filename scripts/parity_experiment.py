@@ -76,6 +76,15 @@ def stage_jax(extra: list = (), out_name: str = "results_jax.json",
     import contextlib
     import io
 
+    # Task metrics are platform-independent; PARITY_PLATFORM=cpu lets the
+    # queued recipe arms run while the tunnel chip is down (the config
+    # update must happen before any device use — see docs/STATUS.md).
+    platform = os.environ.get("PARITY_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     from analysisgnn_tpu.cli.train import main
 
     ckpt = os.path.join(ROOT, ckpt_name)
@@ -107,6 +116,7 @@ def stage_jax(extra: list = (), out_name: str = "results_jax.json",
         "framework": "analysisgnn_tpu",
         "epochs": EPOCHS,
         "extra_flags": list(extra),
+        "platform": platform or "default",
         "metrics": metrics,
     }
     with open(os.path.join(ROOT, out_name), "w") as f:
