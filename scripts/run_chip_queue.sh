@@ -27,7 +27,11 @@ run encoders         python scripts/bench_encoders.py HybridGNN HybridGNN-pallas
 run inference        python scripts/bench_inference.py 10000
 run scan_k12         python scripts/bench_scan_ab.py 12
 # task-metric arms for the other two encoder families (same synthetic
-# corpus + budget as RESULTS.md's HybridGNN arm and torch anchor)
+# corpus + budget as RESULTS.md's HybridGNN arm and torch anchor).
+# Metrics are platform-independent; skip if the forced-CPU outage runs
+# already produced them (PARITY_PLATFORM=cpu).
+[ -f results_jax_hgt.json ] || \
 QUEUE_TIMEOUT=7200 run parity_hgt       python scripts/parity_experiment.py jax results_jax_hgt.json ckpt_hgt --model HGT --hgt_group_mode emax --lr 1e-3 --dropout 0.0
+[ -f results_jax_metrical.json ] || \
 QUEUE_TIMEOUT=7200 run parity_metrical  python scripts/parity_experiment.py jax results_jax_metrical.json ckpt_metrical --model MetricalGNN --lr 1e-3 --dropout 0.0
 echo "=== queue done ===" >&2
