@@ -86,7 +86,18 @@ def resolve_checkpoint(checkpoint_dir: str, tag: str,
 
 def get_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Predict analysis for a score")
-    p.add_argument("--score", type=str, required=True, help="MusicXML/.mxl path")
+    p.add_argument("--score", type=str, default=None,
+                   help="MusicXML/.mxl/.krn path")
+    p.add_argument("--score_dir", type=str, default=None,
+                   help="batch mode: predict every score file in this "
+                        "directory (recursive)")
+    p.add_argument("--output_dir", type=str, default=None,
+                   help="batch mode: write per-score CSVs here "
+                        "(default: alongside each score)")
+    p.add_argument("--bucket_factor", type=float, default=1.25,
+                   help="batch mode: pad graphs to a geometric capacity "
+                        "ladder with this growth factor so scores share "
+                        "compiled programs (0 disables bucketing)")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints",
                    help="local checkpoint dir OR W&B artifact id "
                         "(entity/project/name:version)")
@@ -152,8 +163,13 @@ def load_model_and_params(checkpoint_dir: str, tag: str):
     return model, params, cfg
 
 
+SCORE_EXTENSIONS = (".musicxml", ".xml", ".mxl", ".krn", ".kern")
+
+
 def main(argv=None) -> None:
     args = get_parser().parse_args(argv)
+    if bool(args.score) == bool(args.score_dir):
+        raise SystemExit("exactly one of --score / --score_dir is required")
     from analysisgnn_tpu.data.musicxml import load_score
     from analysisgnn_tpu.inference.predict import (
         decode_predictions,
@@ -166,28 +182,51 @@ def main(argv=None) -> None:
         args.checkpoint_dir, args.checkpoint, args.artifacts_dir
     )
     model, params, cfg = load_model_and_params(ckpt_dir, args.checkpoint)
-    parsed = load_score(args.score)
     tasks = args.tasks.split(",") if args.tasks else None
-    probs = predict_score(
-        model,
-        params,
-        parsed.note_array,
-        measures=parsed.measures,
-        tasks=tasks,
-        feature_type=cfg.get("feature_type", "simple").replace("simple", "voice"),
-        add_beats=cfg.get("add_beats", False),
-        add_measures=cfg.get("add_measures", False),
-    )
-    decoded = decode_predictions(probs)
-    base = os.path.splitext(os.path.basename(args.score))[0]
-    out_csv = args.output_csv or f"{base}_analysis.csv"
-    export_predictions_csv(out_csv, parsed.note_array, decoded)
-    print(f"wrote {out_csv}")
-    if args.output_musicxml:
-        export_roman_numerals_to_musicxml(
-            args.output_musicxml, parsed.note_array, decoded
+
+    if args.score_dir:
+        paths = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(args.score_dir)
+            for f in fs
+            if f.lower().endswith(SCORE_EXTENSIONS)
         )
-        print(f"wrote {args.output_musicxml}")
+        if not paths:
+            raise SystemExit(f"no score files under {args.score_dir}")
+        bucket = args.bucket_factor or None
+    else:
+        paths = [args.score]
+        bucket = None  # single score: exact shapes, no padding waste
+
+    if args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
+    for path in paths:
+        parsed = load_score(path)
+        probs = predict_score(
+            model,
+            params,
+            parsed.note_array,
+            measures=parsed.measures,
+            tasks=tasks,
+            feature_type=cfg.get("feature_type", "simple").replace("simple", "voice"),
+            add_beats=cfg.get("add_beats", False),
+            add_measures=cfg.get("add_measures", False),
+            bucket_factor=bucket,
+        )
+        decoded = decode_predictions(probs)
+        base = os.path.splitext(os.path.basename(path))[0]
+        if args.score_dir:
+            out_dir = args.output_dir or os.path.dirname(path)
+            out_csv = os.path.join(out_dir, f"{base}_analysis.csv")
+        else:
+            out_csv = args.output_csv or f"{base}_analysis.csv"
+        export_predictions_csv(out_csv, parsed.note_array, decoded)
+        print(f"wrote {out_csv}")
+        if args.output_musicxml and not args.score_dir:
+            export_roman_numerals_to_musicxml(
+                args.output_musicxml, parsed.note_array, decoded
+            )
+            print(f"wrote {args.output_musicxml}")
 
 
 if __name__ == "__main__":

@@ -26,12 +26,26 @@ from analysisgnn_tpu.theory.vocab import available_representations
 RNA_KEYS = ("quality", "inversion", "degree1", "degree2")
 
 
+def bucket_capacity(n: int, factor: float = 1.25, base: int = 64) -> int:
+    """Round ``n`` up the geometric capacity ladder ``base·factor^k``.
+
+    Full-graph inference pads every score to a ladder rung so a corpus of
+    arbitrary-length scores triggers only O(log N / log factor) distinct
+    XLA compiles instead of one per score (the serving analog of the
+    training sampler's static capacities)."""
+    cap = base
+    while cap < n:
+        cap = int(np.ceil(cap * factor))
+    return cap
+
+
 def graph_from_note_array(
     note_array: np.ndarray,
     measures: Optional[np.ndarray] = None,
     feature_type: str = "voice",
     add_beats: bool = True,
     add_measures: bool = True,
+    bucket_factor: Optional[float] = None,
 ) -> HeteroGraph:
     feats = select_features(note_array, feature_type)
     g = build_score_graph(
@@ -49,9 +63,40 @@ def graph_from_note_array(
         "key_signature": KeySignatureEncoder().encode(note_array).astype(np.int64),
         "onset_div": note_array["onset_div"].astype(np.int64),
     }
+    node_capacity = edge_capacity = None
+    if bucket_factor:
+        node_capacity = {
+            t: bucket_capacity(x.shape[0], bucket_factor) for t, x in features.items()
+        }
+        edge_capacity = {
+            et: bucket_capacity(ei.shape[1], bucket_factor)
+            for et, ei in g.edges.items()
+        }
     return HeteroGraph.from_numpy(
-        features, g.edges, node_attrs={NOTE: attrs}, num_target_nodes=len(note_array)
+        features,
+        g.edges,
+        node_attrs={NOTE: attrs},
+        num_target_nodes=len(note_array),
+        node_capacity=node_capacity,
+        edge_capacity=edge_capacity,
     )
+
+
+# jitted-forward cache so repeated predict_score calls (batch/serving mode)
+# reuse the traced+compiled program for every score that lands in the same
+# capacity bucket; keyed by model identity (kept alive via the stored ref).
+_APPLY_CACHE: Dict[int, Tuple[object, object]] = {}
+
+
+def _jitted_apply(model):
+    import jax
+
+    hit = _APPLY_CACHE.get(id(model))
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    fn = jax.jit(model.apply)
+    _APPLY_CACHE[id(model)] = (model, fn)
+    return fn
 
 
 def onsetwise_smooth(
@@ -113,15 +158,19 @@ def predict_score(
     feature_type: str = "voice",
     add_beats: bool = True,
     add_measures: bool = True,
+    bucket_factor: Optional[float] = None,
 ) -> Dict[str, np.ndarray]:
-    """Run the full-graph forward and return per-note class probabilities."""
-    import jax
+    """Run the full-graph forward and return per-note class probabilities.
 
+    ``bucket_factor`` pads the graph to a geometric capacity ladder so many
+    scores share one compiled program (see ``bucket_capacity``)."""
     graph = graph_from_note_array(
-        note_array, measures, feature_type, add_beats, add_measures
+        note_array, measures, feature_type, add_beats, add_measures,
+        bucket_factor=bucket_factor,
     )
+    n_valid = len(note_array)
     attrs = graph.node_attrs[NOTE]
-    logits = jax.jit(model.apply)(
+    logits = _jitted_apply(model)(
         params,
         graph.x_dict(),
         graph.edge_index_dict(),
@@ -130,6 +179,8 @@ def predict_score(
         attrs["key_signature"],
         graph.num_target_nodes,
     )
+    # drop padded rows before the host softmax/decodes
+    logits = {k: v[:n_valid] for k, v in logits.items()}
     # numpy softmax: per-task jax.nn.softmax would trigger one small XLA
     # compile per task shape (~21 compiles, seconds of host latency on the
     # one-score predict path) for work that is trivially host-side

@@ -200,3 +200,79 @@ def test_cli_train_predict_roundtrip_hgt_emax(tmp_path):
     ])
     rows = list(csv.reader(open(out_csv)))
     assert len(rows) == 7  # 6 notes + header
+
+
+def test_bucketed_predict_matches_exact_shapes():
+    """bucket_factor pads to a capacity ladder; probabilities must be
+    IDENTICAL to the exact-shape forward (padding rows are dropped by the
+    segment ops / sliced before softmax)."""
+    from analysisgnn_tpu.inference.predict import (
+        bucket_capacity,
+        graph_from_note_array,
+    )
+
+    model = small_model()
+    na = synthetic_score(30, seed=0)
+    g = graph_from_note_array(na, add_beats=False, add_measures=False)
+    attrs = g.node_attrs[NOTE]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        g.x_dict(), g.edge_index_dict(), g.batch,
+        attrs["pitch_spelling"], attrs["key_signature"], g.num_target_nodes,
+    )
+    exact = predict_score(model, params, na, add_beats=False, add_measures=False)
+    padded = predict_score(
+        model, params, na, add_beats=False, add_measures=False,
+        bucket_factor=1.25,
+    )
+    assert set(exact) == set(padded)
+    for k in exact:
+        assert padded[k].shape == exact[k].shape
+        np.testing.assert_allclose(padded[k], exact[k], rtol=1e-5, atol=1e-6)
+    # ladder sanity: monotone, covers n, bounded blow-up
+    for n in (1, 63, 64, 65, 1000, 12345):
+        cap = bucket_capacity(n)
+        assert cap >= max(n, 64) and cap <= max(64, int(np.ceil(n * 1.25)))
+    # two scores in the same rung share every array shape (= one compile)
+    ga = graph_from_note_array(
+        synthetic_score(70, seed=1), add_beats=False, add_measures=False,
+        bucket_factor=1.25,
+    )
+    gb = graph_from_note_array(
+        synthetic_score(78, seed=2), add_beats=False, add_measures=False,
+        bucket_factor=1.25,
+    )
+    assert ga.capacity(NOTE) == gb.capacity(NOTE)
+
+
+def test_cli_batch_score_dir(tmp_path):
+    """--score_dir batch mode: one CSV per score file into --output_dir."""
+    from analysisgnn_tpu.cli import predict as predict_cli
+    from analysisgnn_tpu.cli import train as train_cli
+
+    ckpt = str(tmp_path / "ckpt")
+    train_cli.main([
+        "--demo", "--do_train",
+        "--num_layers", "1", "--hidden_channels", "16", "--out_channels", "8",
+        "--num_epochs", "1", "--subgraph_size", "24", "--batch_size", "20",
+        "--main_tasks", "all", "--checkpoint_dir", ckpt,
+        "--max_steps_per_epoch", "2",
+    ])
+    scores = tmp_path / "scores"
+    scores.mkdir()
+    (scores / "a.xml").write_text(SCORE_XML)
+    (scores / "sub").mkdir()
+    (scores / "sub" / "b.musicxml").write_text(SCORE_XML)
+    out_dir = tmp_path / "out"
+    predict_cli.main([
+        "--score_dir", str(scores), "--checkpoint_dir", ckpt,
+        "--checkpoint", "last", "--output_dir", str(out_dir),
+    ])
+    got = sorted(os.listdir(out_dir))
+    assert got == ["a_analysis.csv", "b_analysis.csv"]
+    rows = list(csv.reader(open(out_dir / "a_analysis.csv")))
+    assert len(rows) == 7  # 6 notes + header
+
+    # exactly one of --score / --score_dir
+    with pytest.raises(SystemExit):
+        predict_cli.main(["--checkpoint_dir", ckpt])
