@@ -181,15 +181,27 @@ def predict_score(
     )
     # drop padded rows before the host softmax/decodes
     logits = {k: v[:n_valid] for k, v in logits.items()}
+    onset_edges = np.asarray(graph.edges((NOTE, "onset", NOTE)))
+    ne = int(graph.num_edges["note__onset__note"])
+    return _logits_to_probs(logits, note_array, onset_edges[:, :ne], tasks)
+
+
+def _np_softmax(x):
     # numpy softmax: per-task jax.nn.softmax would trigger one small XLA
     # compile per task shape (~21 compiles, seconds of host latency on the
     # one-score predict path) for work that is trivially host-side
-    def _softmax(x):
-        x = np.asarray(x, np.float64)
-        x = x - x.max(-1, keepdims=True)
-        e = np.exp(x)
-        return e / e.sum(-1, keepdims=True)
+    x = np.asarray(x, np.float64)
+    x = x - x.max(-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(-1, keepdims=True)
 
+
+def _logits_to_probs(
+    logits: Dict[str, "np.ndarray"],
+    note_array: np.ndarray,
+    onset_edges: np.ndarray,
+    tasks: Optional[Sequence[str]],
+) -> Dict[str, np.ndarray]:
     # the RNA smoothing uses the tpc mask even when that task isn't requested
     tpc_mask = (
         np.asarray(logits["tpc_in_label"]).argmax(-1)
@@ -200,15 +212,68 @@ def predict_score(
         # filter BEFORE the host transfer + softmax: a task subset on a long
         # score should not materialize all 21 heads' float64 probabilities
         logits = {k: v for k, v in logits.items() if k in tasks}
-    probs = {k: _softmax(v) for k, v in logits.items()}
-    onset_edges = np.asarray(graph.edges((NOTE, "onset", NOTE)))
-    ne = int(graph.num_edges["note__onset__note"])
+    probs = {k: _np_softmax(v) for k, v in logits.items()}
     return onsetwise_smooth(
-        probs,
-        onset_edges[:, :ne],
-        note_array["onset_div"],
-        tpc_in_label_mask=tpc_mask,
+        probs, onset_edges, note_array["onset_div"], tpc_in_label_mask=tpc_mask
     )
+
+
+def predict_score_partitioned(
+    model,
+    params,
+    note_array: np.ndarray,
+    num_devices: Optional[int] = None,
+    tasks: Optional[Sequence[str]] = None,
+    feature_type: str = "voice",
+    mesh=None,
+) -> Dict[str, np.ndarray]:
+    """Long-score serving: the full-graph encode partitioned over the device
+    mesh (overlap-region regime of ``distributed/partition_encoder.py`` —
+    exact vs the single-device forward), task heads + host decode on the
+    gathered owned embeddings.
+
+    This is the serving path for scores whose full graph exceeds one chip's
+    HBM — the TPU analog of the reference's test-time near-full-graph
+    evaluation (datamodules/analysis.py:310-324) scaled past one device.
+    Covers note-node models (the reference flagship config); beat/measure
+    node types are host-attached per shard, so configs needing them should
+    use ``predict_score``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from analysisgnn_tpu.distributed.partition_encoder import (
+        make_partitioned_encode,
+        partition_full_graph,
+        unpartition,
+    )
+
+    feats = select_features(note_array, feature_type).astype(np.float32)
+    g = build_score_graph(note_array, add_beats=False, add_measures=False)
+    edges = {et: np.asarray(ei) for et, ei in g.edges.items()}
+    ps = PitchEncoder().encode(note_array).astype(np.int32)
+    ks = KeySignatureEncoder().encode(note_array).astype(np.int32)
+
+    if mesh is None:
+        devs = jax.devices()
+        d = num_devices or len(devs)
+        mesh = Mesh(np.array(devs[:d]), ("graph",))
+    d = mesh.devices.size
+    # receptive field: GNN layers + final conv + onset pooling
+    part = partition_full_graph(
+        feats, ps, ks, edges, num_devices=d,
+        num_message_hops=model.num_layers + 2,
+    )
+    encode_fn = make_partitioned_encode(model, mesh)
+    with mesh:
+        emb = unpartition(encode_fn(params, part), part)
+    logits = jax.jit(
+        lambda p, x: model.apply(p, x, method=model.classify)
+    )(params, jnp.asarray(emb))
+    logits = {k: np.asarray(v) for k, v in logits.items()}
+    onset_key = (NOTE, "onset", NOTE)
+    return _logits_to_probs(logits, note_array, edges[onset_key], tasks)
 
 
 def decode_predictions(

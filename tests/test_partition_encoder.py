@@ -110,3 +110,37 @@ def test_per_layer_exchange_matches_stock_hybridgnn():
         )
     got = np.asarray(got).reshape(-1, full.shape[-1])[: x0.shape[0]]
     np.testing.assert_allclose(got, np.asarray(full), rtol=2e-4, atol=2e-5)
+
+
+def test_predict_score_partitioned_matches_predict_score():
+    """Serving integration: the mesh-partitioned predict path (overlap
+    regime encode + gathered heads + host decode) returns the same
+    probabilities as the single-device full-graph predict."""
+    from analysisgnn_tpu.data.note_array import synthetic_score
+    from analysisgnn_tpu.inference.predict import (
+        graph_from_note_array,
+        predict_score,
+        predict_score_partitioned,
+    )
+    from analysisgnn_tpu.models.analysis import AnalysisGNN
+    from analysisgnn_tpu.theory.vocab import TASK_DICT
+
+    na = synthetic_score(num_notes=300, seed=3)
+    nodes, ets = metadata(False, False)
+    model = AnalysisGNN(
+        metadata=(nodes, ets), in_channels=25,
+        hidden_channels=16, out_channels=8,
+        task_dict=tuple(TASK_DICT.items()), num_layers=2, dropout=0.0,
+    )
+    g = graph_from_note_array(na, add_beats=False, add_measures=False)
+    attrs = g.node_attrs[NOTE]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        g.x_dict(), g.edge_index_dict(), g.batch,
+        attrs["pitch_spelling"], attrs["key_signature"], g.num_target_nodes,
+    )
+    ref = predict_score(model, params, na, add_beats=False, add_measures=False)
+    got = predict_score_partitioned(model, params, na, mesh=_mesh(4))
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=2e-4, atol=2e-5)
