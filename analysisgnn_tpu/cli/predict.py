@@ -98,6 +98,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help="batch mode: pad graphs to a geometric capacity "
                         "ladder with this growth factor so scores share "
                         "compiled programs (0 disables bucketing)")
+    p.add_argument("--partition_devices", type=int, default=0,
+                   help="shard the full-graph encode across this many "
+                        "devices (overlap-region graph partition; for "
+                        "scores too large for one chip's HBM; note-node "
+                        "model configs only)")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints",
                    help="local checkpoint dir OR W&B artifact id "
                         "(entity/project/name:version)")
@@ -200,19 +205,34 @@ def main(argv=None) -> None:
 
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)
+    feature_type = cfg.get("feature_type", "simple").replace("simple", "voice")
+    if args.partition_devices and (cfg.get("add_beats") or cfg.get("add_measures")):
+        raise SystemExit(
+            "--partition_devices covers note-node model configs only "
+            "(this checkpoint was trained with beat/measure nodes)"
+        )
     for path in paths:
         parsed = load_score(path)
-        probs = predict_score(
-            model,
-            params,
-            parsed.note_array,
-            measures=parsed.measures,
-            tasks=tasks,
-            feature_type=cfg.get("feature_type", "simple").replace("simple", "voice"),
-            add_beats=cfg.get("add_beats", False),
-            add_measures=cfg.get("add_measures", False),
-            bucket_factor=bucket,
-        )
+        if args.partition_devices:
+            from analysisgnn_tpu.inference.predict import predict_score_partitioned
+
+            probs = predict_score_partitioned(
+                model, params, parsed.note_array, tasks=tasks,
+                feature_type=feature_type,
+                num_devices=args.partition_devices,
+            )
+        else:
+            probs = predict_score(
+                model,
+                params,
+                parsed.note_array,
+                measures=parsed.measures,
+                tasks=tasks,
+                feature_type=feature_type,
+                add_beats=cfg.get("add_beats", False),
+                add_measures=cfg.get("add_measures", False),
+                bucket_factor=bucket,
+            )
         decoded = decode_predictions(probs)
         base = os.path.splitext(os.path.basename(path))[0]
         if args.score_dir:

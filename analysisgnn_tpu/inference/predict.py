@@ -260,6 +260,11 @@ def predict_score_partitioned(
         d = num_devices or len(devs)
         mesh = Mesh(np.array(devs[:d]), ("graph",))
     d = mesh.devices.size
+    # restored checkpoints arrive committed to one device; replicate over
+    # the mesh so the shard_map accepts them
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
     # receptive field: GNN layers + final conv + onset pooling
     part = partition_full_graph(
         feats, ps, ks, edges, num_devices=d,

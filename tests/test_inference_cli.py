@@ -276,3 +276,33 @@ def test_cli_batch_score_dir(tmp_path):
     # exactly one of --score / --score_dir
     with pytest.raises(SystemExit):
         predict_cli.main(["--checkpoint_dir", ckpt])
+
+
+def test_cli_partition_devices(tmp_path):
+    """--partition_devices with an Orbax-RESTORED checkpoint: restored
+    params arrive committed to one device and must be replicated over the
+    mesh (regression: shard_map rejected single-device-committed params)."""
+    from analysisgnn_tpu.cli import predict as predict_cli
+    from analysisgnn_tpu.cli import train as train_cli
+
+    ckpt = str(tmp_path / "ckpt")
+    train_cli.main([
+        "--demo", "--do_train",
+        "--num_layers", "1", "--hidden_channels", "16", "--out_channels", "8",
+        "--num_epochs", "1", "--subgraph_size", "24", "--batch_size", "20",
+        "--main_tasks", "all", "--checkpoint_dir", ckpt,
+        "--max_steps_per_epoch", "2",
+    ])
+    score = tmp_path / "score.xml"
+    score.write_text(SCORE_XML)
+    single = str(tmp_path / "single.csv")
+    part = str(tmp_path / "part.csv")
+    predict_cli.main([
+        "--score", str(score), "--checkpoint_dir", ckpt, "--checkpoint", "last",
+        "--output_csv", single,
+    ])
+    predict_cli.main([
+        "--score", str(score), "--checkpoint_dir", ckpt, "--checkpoint", "last",
+        "--output_csv", part, "--partition_devices", "4",
+    ])
+    assert open(single).read() == open(part).read()
