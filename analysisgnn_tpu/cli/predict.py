@@ -114,6 +114,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_csv", type=str, default=None)
     p.add_argument("--output_musicxml", type=str, default=None,
                    help="write Roman-numeral annotation MusicXML here")
+    p.add_argument("--export_musicxml", action="store_true",
+                   help="batch mode: also write <score>_rna.musicxml per "
+                        "score next to the CSVs")
     return p
 
 
@@ -242,7 +245,16 @@ def main(argv=None) -> None:
             out_csv = args.output_csv or f"{base}_analysis.csv"
         export_predictions_csv(out_csv, parsed.note_array, decoded)
         print(f"wrote {out_csv}")
-        if args.output_musicxml and not args.score_dir:
+        if args.score_dir:
+            if args.export_musicxml:
+                out_xml = os.path.join(
+                    os.path.dirname(out_csv), f"{base}_rna.musicxml"
+                )
+                export_roman_numerals_to_musicxml(
+                    out_xml, parsed.note_array, decoded
+                )
+                print(f"wrote {out_xml}")
+        elif args.output_musicxml:
             export_roman_numerals_to_musicxml(
                 args.output_musicxml, parsed.note_array, decoded
             )
