@@ -201,7 +201,8 @@ def main(argv=None) -> None:
         )
         if not paths:
             raise SystemExit(f"no score files under {args.score_dir}")
-        bucket = args.bucket_factor or None
+        # factor <= 1 (incl. the documented 0) disables bucketing
+        bucket = args.bucket_factor if args.bucket_factor > 1.0 else None
     else:
         paths = [args.score]
         bucket = None  # single score: exact shapes, no padding waste
@@ -237,11 +238,19 @@ def main(argv=None) -> None:
                 bucket_factor=bucket,
             )
         decoded = decode_predictions(probs)
-        base = os.path.splitext(os.path.basename(path))[0]
-        if args.score_dir:
-            out_dir = args.output_dir or os.path.dirname(path)
-            out_csv = os.path.join(out_dir, f"{base}_analysis.csv")
+        if args.score_dir and args.output_dir:
+            # flatten into output_dir without basename collisions across
+            # subdirectories: a/x.xml and b/x.xml must not overwrite
+            rel = os.path.relpath(path, args.score_dir)
+            base = os.path.splitext(rel)[0].replace(os.sep, "__")
+            out_csv = os.path.join(args.output_dir, f"{base}_analysis.csv")
+        elif args.score_dir:
+            base = os.path.splitext(os.path.basename(path))[0]
+            out_csv = os.path.join(
+                os.path.dirname(path), f"{base}_analysis.csv"
+            )
         else:
+            base = os.path.splitext(os.path.basename(path))[0]
             out_csv = args.output_csv or f"{base}_analysis.csv"
         export_predictions_csv(out_csv, parsed.note_array, decoded)
         print(f"wrote {out_csv}")

@@ -33,6 +33,8 @@ def bucket_capacity(n: int, factor: float = 1.25, base: int = 64) -> int:
     arbitrary-length scores triggers only O(log N / log factor) distinct
     XLA compiles instead of one per score (the serving analog of the
     training sampler's static capacities)."""
+    if factor <= 1.0:
+        raise ValueError(f"bucket factor must be > 1, got {factor}")
     cap = base
     while cap < n:
         cap = int(np.ceil(cap * factor))
@@ -64,7 +66,7 @@ def graph_from_note_array(
         "onset_div": note_array["onset_div"].astype(np.int64),
     }
     node_capacity = edge_capacity = None
-    if bucket_factor:
+    if bucket_factor and bucket_factor > 1.0:
         node_capacity = {
             t: bucket_capacity(x.shape[0], bucket_factor) for t, x in features.items()
         }

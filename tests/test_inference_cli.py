@@ -263,13 +263,17 @@ def test_cli_batch_score_dir(tmp_path):
     (scores / "a.xml").write_text(SCORE_XML)
     (scores / "sub").mkdir()
     (scores / "sub" / "b.musicxml").write_text(SCORE_XML)
+    # basename collision across subdirs must NOT overwrite
+    (scores / "sub" / "a.xml").write_text(SCORE_XML)
     out_dir = tmp_path / "out"
     predict_cli.main([
         "--score_dir", str(scores), "--checkpoint_dir", ckpt,
         "--checkpoint", "last", "--output_dir", str(out_dir),
     ])
     got = sorted(os.listdir(out_dir))
-    assert got == ["a_analysis.csv", "b_analysis.csv"]
+    assert got == [
+        "a_analysis.csv", "sub__a_analysis.csv", "sub__b_analysis.csv",
+    ]
     rows = list(csv.reader(open(out_dir / "a_analysis.csv")))
     assert len(rows) == 7  # 6 notes + header
 
