@@ -144,3 +144,47 @@ def test_predict_score_partitioned_matches_predict_score():
     assert set(got) == set(ref)
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("enc,kw", [
+    ("hgt", {"hgt_group_mode": "emax"}),
+])
+def test_overlap_partition_hgt(enc, kw):
+    """The overlap regime runs the STOCK module per shard, so it must be
+    encoder-agnostic — lock in HGT (typed attention + union-stack grouping),
+    whose softmax normalization could plausibly leak across windows."""
+    from analysisgnn_tpu.distributed.partition_encoder import (
+        make_partitioned_encode,
+        partition_full_graph,
+        unpartition,
+    )
+    from analysisgnn_tpu.models.analysis import AnalysisGNN
+
+    feats, ps, ks, edges = _full_graph(num_notes=260, seed=5)
+    nodes, ets = metadata(False, False)
+    model = AnalysisGNN(
+        metadata=(nodes, ets), in_channels=feats.shape[1],
+        hidden_channels=16, out_channels=8,
+        task_dict=(("cadence", 4),), num_layers=2, dropout=0.0,
+        encoder_type=enc, **kw,
+    )
+    n = feats.shape[0]
+    x_dict = {NOTE: jnp.asarray(feats)}
+    ei = {et: jnp.asarray(v.astype(np.int32)) for et, v in edges.items()}
+    batch = {NOTE: jnp.zeros(n, jnp.int32)}
+    params = model.init(
+        jax.random.PRNGKey(0), x_dict, ei, batch,
+        jnp.asarray(ps), jnp.asarray(ks), jnp.asarray(n, jnp.int32),
+    )
+    full = model.apply(
+        params, x_dict, ei, batch, jnp.asarray(ps), jnp.asarray(ks),
+        jnp.asarray(n, jnp.int32), method=model.encode,
+    )
+    part = partition_full_graph(
+        feats, ps, ks, edges, num_devices=4, num_message_hops=2 + 2
+    )
+    fn = make_partitioned_encode(model, _mesh(4))
+    with _mesh(4):
+        got = unpartition(fn(params, part), part)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=2e-4, atol=2e-5)
