@@ -183,7 +183,7 @@ def main(argv=None) -> None:
         decode_predictions,
         export_predictions_csv,
         export_roman_numerals_to_musicxml,
-        predict_score,
+        predict_score_ids,
     )
 
     ckpt_dir = resolve_checkpoint(
@@ -226,7 +226,10 @@ def main(argv=None) -> None:
                 num_devices=args.partition_devices,
             )
         else:
-            probs = predict_score(
+            # ids-only device decode: the exports below consume class ids,
+            # so skip the full [N, C] probability transfer (predict_score
+            # remains the API for probability consumers)
+            probs = predict_score_ids(
                 model,
                 params,
                 parsed.note_array,

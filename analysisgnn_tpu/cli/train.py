@@ -263,6 +263,7 @@ def main(argv=None) -> None:
         use_wandb=config.get("use_wandb", False),
         resume=config.get("load_from_checkpoint", False),
         scan_steps=config.get("scan_steps", 1),
+        num_workers=config.get("num_workers", 0),
     )
     trainer = Trainer(tc, dm)
     # persist the model-construction config next to checkpoints for predict

@@ -197,42 +197,54 @@ class HeteroGraph:
         num_target_nodes: Optional[int] = None,
         node_capacity: Optional[Mapping[str, int]] = None,
         edge_capacity: Optional[Mapping[EdgeType, int]] = None,
+        to_device: bool = True,
     ) -> "HeteroGraph":
-        """Build a padded device graph from ragged host (numpy) arrays.
+        """Build a padded graph from ragged host (numpy) arrays.
 
         ``node_capacity`` / ``edge_capacity`` give the static padded sizes;
         when omitted the exact sizes are used (useful for tests/whole-graph
         inference where a single compile is fine).
+
+        ``to_device=False`` returns a numpy-leaf graph (the pytree structure
+        is identical); the caller — e.g. a prefetch worker — then ships the
+        whole batch with ONE ``jax.device_put``.  Padding uses preallocated
+        zero buffers + slice assignment rather than ``np.pad`` (whose pad-area
+        fill loop dominated batch-assembly time at training shapes).
         """
+
+        def _padded(x: np.ndarray, cap: int) -> np.ndarray:
+            n = x.shape[0]
+            if cap == n:
+                return np.ascontiguousarray(x)
+            buf = np.zeros((cap,) + x.shape[1:], x.dtype)
+            buf[:n] = x
+            return buf
+
         node_attrs = node_attrs or {}
-        nf: Dict[str, jax.Array] = {}
-        nn: Dict[str, jax.Array] = {}
-        na: Dict[str, Dict[str, jax.Array]] = {}
-        bt: Dict[str, jax.Array] = {}
+        nf: Dict[str, np.ndarray] = {}
+        nn: Dict[str, np.ndarray] = {}
+        na: Dict[str, Dict[str, np.ndarray]] = {}
+        bt: Dict[str, np.ndarray] = {}
         for t, x in node_features.items():
             x = np.asarray(x)
             n = x.shape[0]
             cap = int(node_capacity[t]) if node_capacity else n
             if cap < n:
                 raise ValueError(f"capacity {cap} < num nodes {n} for {t!r}")
-            pad = [(0, cap - n)] + [(0, 0)] * (x.ndim - 1)
-            nf[t] = jnp.asarray(np.pad(x, pad))
-            nn[t] = jnp.asarray(np.int32(n))
+            nf[t] = _padded(x, cap)
+            nn[t] = np.int32(n)
             na[t] = {}
             for name, v in (node_attrs.get(t) or {}).items():
-                v = np.asarray(v)
-                vpad = [(0, cap - n)] + [(0, 0)] * (v.ndim - 1)
-                na[t][name] = jnp.asarray(np.pad(v, vpad))
-            b = (
-                np.asarray(batch[t])
-                if batch is not None and t in batch
-                else np.zeros(n, np.int32)
-            )
-            bt[t] = jnp.asarray(
-                np.pad(b.astype(np.int32), (0, cap - n), constant_values=-1)
-            )
-        ei: Dict[str, jax.Array] = {}
-        ne: Dict[str, jax.Array] = {}
+                na[t][name] = _padded(np.asarray(v), cap)
+            if batch is not None and t in batch:
+                b = np.full(cap, -1, np.int32)
+                b[:n] = batch[t]
+            else:
+                b = np.zeros(cap, np.int32)
+                b[n:] = -1
+            bt[t] = b
+        ei: Dict[str, np.ndarray] = {}
+        ne: Dict[str, np.ndarray] = {}
         for et, idx in edge_index.items():
             idx = np.asarray(idx, np.int32).reshape(2, -1)
             e = idx.shape[1]
@@ -247,35 +259,30 @@ class HeteroGraph:
             # real < capacity.)
             fill_src = int(node_capacity[src_t]) if node_capacity else node_features[src_t].shape[0]
             fill_dst = int(node_capacity[dst_t]) if node_capacity else node_features[dst_t].shape[0]
-            padded = np.concatenate(
-                [
-                    idx,
-                    np.stack(
-                        [
-                            np.full(cap - e, fill_src, np.int32),
-                            np.full(cap - e, fill_dst, np.int32),
-                        ]
-                    ),
-                ],
-                axis=1,
-            )
+            padded = np.empty((2, cap), np.int32)
+            padded[:, :e] = idx
+            padded[0, e:] = fill_src
+            padded[1, e:] = fill_dst
             key = edge_type_key(et)
-            ei[key] = jnp.asarray(padded)
-            ne[key] = jnp.asarray(np.int32(e))
+            ei[key] = padded
+            ne[key] = np.int32(e)
         ntn = (
             np.int32(num_target_nodes)
             if num_target_nodes is not None
             else np.int32(node_features[NOTE].shape[0]) if NOTE in node_features else np.int32(0)
         )
-        return HeteroGraph(
+        g = HeteroGraph(
             node_features=nf,
             edge_index=ei,
             num_nodes=nn,
             num_edges=ne,
             node_attrs=na,
             batch=bt,
-            num_target_nodes=jnp.asarray(ntn),
+            num_target_nodes=ntn,
         )
+        if to_device:
+            g = jax.device_put(g)  # ONE batched transfer for all leaves
+        return g
 
     def replace(self, **kwargs: Any) -> "HeteroGraph":
         return dataclasses.replace(self, **kwargs)

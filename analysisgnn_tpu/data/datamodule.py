@@ -166,6 +166,24 @@ class AnalysisDataModule:
         for _ in range(steps):
             yield sampler.sample_batch()
 
+    def train_batches_prefetched(
+        self, task: str, steps: int, num_workers: int = 0
+    ) -> Iterator:
+        """Prefetched training batches: a pool of ``num_workers`` sampler
+        threads (reference DataLoader ``num_workers``) when >1, else one
+        background prefetch thread.  Worker clones draw from spawned RNG
+        streams, so the parent sampler's deterministic sequence is
+        preserved across epochs either way."""
+        from analysisgnn_tpu.data.prefetch import prefetch, prefetch_workers
+
+        if num_workers > 1:
+            workers = self._train_samplers[task].spawn(num_workers)
+            return prefetch_workers(
+                [w.sample_batch for w in workers], steps,
+                buffer_size=2 * num_workers,
+            )
+        return prefetch(self.train_batches(task, steps))
+
     def combined_train_batches(self, steps: int) -> Iterator[Dict[str, object]]:
         """Round-robin over tasks each step (CombinedLoader("min_size"))."""
         for _ in range(steps):

@@ -48,3 +48,53 @@ def prefetch_calls(fn: Callable[[], T], steps: int, buffer_size: int = 2) -> Ite
             yield fn()
 
     return prefetch(gen(), buffer_size)
+
+
+def prefetch_workers(
+    fns: "list[Callable[[], T]]", steps: int, buffer_size: int = 4
+) -> Iterator[T]:
+    """Prefetch ``steps`` items produced by a POOL of worker callables, one
+    thread per callable (the multi-worker analog of the reference's
+    ``num_workers=5`` DataLoader, train_analysisgnn.py:60).
+
+    Each callable must be independently safe to call from its own thread
+    (e.g. ``SubgraphSampler.spawn(n)`` clones with private RNG streams).
+    Batch order across workers is nondeterministic — acceptable for
+    training-batch sampling, where each call draws an i.i.d. batch; use
+    single-worker ``prefetch_calls`` when a reproducible stream order is
+    required.  numpy batch assembly + the device transfer both release the
+    GIL, so workers genuinely overlap each other and the device step."""
+    q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+    err: list = []
+    remaining = [steps]  # producers claim work units under the lock
+    lock = threading.Lock()
+
+    def producer(fn: Callable[[], T]):
+        try:
+            while True:
+                with lock:
+                    if remaining[0] <= 0 or err:
+                        break
+                    remaining[0] -= 1
+                q.put(fn())
+        except Exception as e:  # propagate to consumer
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    threads = [
+        threading.Thread(target=producer, args=(fn,), daemon=True) for fn in fns
+    ]
+    for t in threads:
+        t.start()
+    done = 0
+    yielded = 0
+    while done < len(threads) and yielded < steps:
+        item = q.get()
+        if item is _SENTINEL:
+            done += 1
+            continue
+        yielded += 1
+        yield item
+    if err:
+        raise err[0]

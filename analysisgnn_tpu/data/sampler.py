@@ -268,7 +268,27 @@ class SubgraphSampler:
 
     # ------------------------------------------------------------------ #
 
-    def sample_batch(self, graph_indices: Optional[Sequence[int]] = None) -> HeteroGraph:
+    def spawn(self, n: int) -> List["SubgraphSampler"]:
+        """``n`` independently-seeded shallow clones sharing the (read-only)
+        corpus and CSR caches — one per prefetch worker thread.  The parent's
+        RNG stream is untouched; clones draw from spawned child streams."""
+        import copy
+
+        # force every CSR cache entry so the shared dict is read-only after
+        for gi in range(len(self.samples)):
+            self._csr(gi)
+        clones = []
+        for child in self.rng.spawn(n):
+            c = copy.copy(self)
+            c.rng = child
+            clones.append(c)
+        return clones
+
+    def sample_batch(
+        self,
+        graph_indices: Optional[Sequence[int]] = None,
+        to_device: bool = True,
+    ) -> HeteroGraph:
         cfg = self.cfg
         if graph_indices is None:
             graph_indices = self.rng.choice(
@@ -410,6 +430,7 @@ class SubgraphSampler:
             num_target_nodes=total_targets,
             node_capacity=node_caps,
             edge_capacity=self.edge_caps,
+            to_device=to_device,
         )
 
     def __iter__(self):

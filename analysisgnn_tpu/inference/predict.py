@@ -101,6 +101,135 @@ def _jitted_apply(model):
     return fn
 
 
+_DECODE_CACHE: Dict[int, Tuple[object, object]] = {}
+
+
+def _jitted_decode(model):
+    """Device-side decode: forward + softmax + onset scatter-mean + argmax.
+
+    The CSV / Roman-numeral exports only consume class ids, yet the probs
+    path ships every head's full ``[N, C]`` probabilities to the host
+    (~24 MB for a 10 K-note score across the 21 tasks) — on a slow
+    host↔device link that transfer dominates end-to-end serving latency
+    (bench_inference.json: 24 ms forward vs 8 s host decode on the tunnel).
+    This program keeps the reference decode semantics
+    (softmax → onset-edge mean-with-self → representative-row argmax;
+    reference ``onsetwise_logit_aggregation`` models/analysis.py:44-101) on
+    device and fetches ONE stacked ``[T, N]`` int32 array instead.
+    The data-dependent change-point smoothing stays host-side but operates
+    on ids only (see ``predict_score_ids``)."""
+    import jax
+    import jax.numpy as jnp
+
+    hit = _DECODE_CACHE.get(id(model))
+    if hit is not None and hit[0] is model:
+        return hit[1]
+
+    def decode(params, x_dict, edge_index_dict, batch, ps, ks, ntn,
+               rep_rows, n_valid):
+        logits = model.apply(params, x_dict, edge_index_dict, batch, ps, ks, ntn)
+        keys = sorted(logits.keys())
+        n_cap = logits[keys[0]].shape[0]
+        onset = edge_index_dict[(NOTE, "onset", NOTE)]
+        src, dst = onset[0], onset[1]
+        # padding edges point one past the padded node array (core/graph.py),
+        # so a single `< n_valid` test drops both padding and out-of-score rows
+        valid_e = (src != dst) & (src < n_valid) & (dst < n_valid)
+        if "tpc_in_label" in logits:
+            m = jnp.argmax(logits["tpc_in_label"], axis=-1).astype(bool)
+            cs = jnp.clip(src, 0, n_cap - 1)
+            cd = jnp.clip(dst, 0, n_cap - 1)
+            valid_e = valid_e & m[cs] & m[cd]
+        srcc = jnp.where(valid_e, src, 0)
+        dstc = jnp.where(valid_e, dst, 0)
+        cnt = 1.0 + jax.ops.segment_sum(
+            valid_e.astype(jnp.float32), dstc, num_segments=n_cap
+        )
+        ids = {}
+        for k in keys:
+            if k in RNA_KEYS:
+                p = jax.nn.softmax(logits[k].astype(jnp.float32), axis=-1)
+                msg = jnp.where(valid_e[:, None], p[srcc], 0.0)
+                acc = p + jax.ops.segment_sum(msg, dstc, num_segments=n_cap)
+                rep = (acc / cnt[:, None])[rep_rows]
+                ids[k] = jnp.argmax(rep, axis=-1).astype(jnp.int32)
+            else:
+                ids[k] = jnp.argmax(logits[k], axis=-1).astype(jnp.int32)
+        return jnp.stack([ids[k] for k in keys])
+
+    fn = jax.jit(decode)
+    _DECODE_CACHE[id(model)] = (model, fn)
+    return fn
+
+
+def predict_score_ids(
+    model,
+    params,
+    note_array: np.ndarray,
+    measures: Optional[np.ndarray] = None,
+    tasks: Optional[Sequence[str]] = None,
+    feature_type: str = "voice",
+    add_beats: bool = True,
+    add_measures: bool = True,
+    bucket_factor: Optional[float] = None,
+) -> Dict[str, np.ndarray]:
+    """Fast serving path: per-note predicted class ids (what the CSV /
+    MusicXML exports consume), with the softmax + onset-wise RNA
+    aggregation computed ON DEVICE and only ``[T, N]`` int32 ids fetched.
+
+    Prediction-equivalent to ``argmax(predict_score(...))``
+    (tests/test_inference_cli.py); use ``predict_score`` when full
+    per-class probabilities are required."""
+    import jax.numpy as jnp
+
+    graph = graph_from_note_array(
+        note_array, measures, feature_type, add_beats, add_measures,
+        bucket_factor=bucket_factor,
+    )
+    n = len(note_array)
+    cap = graph.capacity(NOTE)
+    # one representative note per unique onset (host-side, cheap): the
+    # smoothing grid of the reference aggregation
+    onsets = note_array["onset_div"] - note_array["onset_div"].min()
+    order = np.argsort(onsets, kind="stable")
+    uniq, first_idx = np.unique(onsets[order], return_index=True)
+    rep_rows = order[first_idx].astype(np.int32)
+    u = len(uniq)
+    rep_padded = np.zeros(cap, np.int32)
+    rep_padded[:u] = rep_rows
+
+    attrs = graph.node_attrs[NOTE]
+    stacked = _jitted_decode(model)(
+        params,
+        graph.x_dict(),
+        graph.edge_index_dict(),
+        graph.batch,
+        attrs["pitch_spelling"],
+        attrs["key_signature"],
+        graph.num_target_nodes,
+        jnp.asarray(rep_padded),
+        jnp.int32(n),
+    )
+    keys = sorted(t for t, _ in model.task_dict)
+    stacked = np.asarray(stacked)  # ONE [T, N_cap] int32 host transfer
+    out: Dict[str, np.ndarray] = {}
+    note_onset_idx = np.searchsorted(uniq, onsets)
+    for i, k in enumerate(keys):
+        if tasks and k not in tasks:
+            continue
+        if k in RNA_KEYS:
+            # change-point smoothing on the onset grid, ids only — identical
+            # to onsetwise_smooth followed by argmax (the representative
+            # row's argmax IS the segment's prediction)
+            preds = stacked[i][:u]
+            change = np.r_[0, np.flatnonzero(preds[1:] != preds[:-1]) + 1]
+            seg_of_onset = np.searchsorted(uniq[change], uniq, side="right") - 1
+            out[k] = preds[change][seg_of_onset][note_onset_idx]
+        else:
+            out[k] = stacked[i][:n]
+    return out
+
+
 def onsetwise_smooth(
     probs: Dict[str, np.ndarray],
     onset_edges: np.ndarray,
@@ -291,7 +420,10 @@ def decode_predictions(
     reps = available_representations()
     out = {}
     for task, p in probs.items():
-        ids = p.argmax(-1)
+        p = np.asarray(p)
+        # accepts either [N, C] probabilities or already-argmaxed [N] ids
+        # (the fast predict_score_ids path)
+        ids = p.argmax(-1) if p.ndim > 1 else p
         if task in reps:
             out[task] = reps[task].decode(ids)
         else:

@@ -106,6 +106,12 @@ class TrainConfig:
     # batches (bit-identical to K single steps — tests/test_train_step.py);
     # amortizes per-dispatch latency, which dominates on remote-tunnel links
     scan_steps: int = 1
+    # sampling worker threads (reference DataLoader num_workers,
+    # train_analysisgnn.py:60): >1 spawns that many independently-seeded
+    # sampler clones feeding a shared prefetch queue — batch assembly and the
+    # device upload release the GIL, so the host keeps up with a ~30 ms
+    # device step.  <=1 keeps the single deterministic prefetch stream.
+    num_workers: int = 0
 
 
 class Trainer:
@@ -313,7 +319,9 @@ class Trainer:
                     for t in expand_main_task(main_task, self.task_dict)
                     if t in self.dm.active_tasks(main_task)
                 )
-                train_source = lambda steps, mt=main_task: self.dm.train_batches(mt, steps)
+                train_source = lambda steps, mt=main_task: self.dm.train_batches_prefetched(
+                    mt, steps, num_workers=cfg.num_workers
+                )
             else:
                 # combined mode: union of tasks, round-robin batches per task
                 active_by_task = {
@@ -334,9 +342,10 @@ class Trainer:
                 loss_handles = []
                 if cfg.cl_training:
                     # host-side sampling overlaps device compute
+                    # (train_source is already prefetched/multi-worker)
                     if cfg.scan_steps > 1:
                         chunk = []
-                        for batch in prefetch(train_source(steps)):
+                        for batch in train_source(steps):
                             chunk.append(batch)
                             if len(chunk) == cfg.scan_steps:
                                 state, auxes = multi_step(state, stack_batches(chunk))
@@ -346,7 +355,7 @@ class Trainer:
                             state, aux = train_step(state, batch)
                             loss_handles.append(aux["total_loss"])
                     else:
-                        for batch in prefetch(train_source(steps)):
+                        for batch in train_source(steps):
                             state, aux = train_step(state, batch)
                             loss_handles.append(aux["total_loss"])
                 else:

@@ -89,14 +89,28 @@ def main() -> None:
     _ = onsetwise_smooth(probs, onset_edges[:, :ne], na["onset_div"])
     dt_host = time.perf_counter() - t0
 
+    # serving path: ids-only device decode (softmax + onset aggregation +
+    # argmax on device, ONE [T, N] int32 fetch) — what the predict CLI uses
+    from analysisgnn_tpu.inference.predict import predict_score_ids
+
+    ids = predict_score_ids(model, params, na, add_beats=True, add_measures=True)
+    assert all(v.shape == (n_notes,) for v in ids.values())
+    steps_ids = 4
+    t0 = time.perf_counter()
+    for _ in range(steps_ids):
+        ids = predict_score_ids(model, params, na, add_beats=True, add_measures=True)
+    dt_ids = (time.perf_counter() - t0) / steps_ids
+
     out = {
         "metric": "full_graph_inference_notes_per_s",
         "encoder": encoder,
         "n_notes": n_notes,
         "forward_ms": round(dt_fwd * 1e3, 1),
         "host_decode_ms": round(dt_host * 1e3, 1),
+        "ids_path_ms": round(dt_ids * 1e3, 1),
         "notes_per_s_device": round(n_notes / dt_fwd),
         "notes_per_s_end_to_end": round(n_notes / (dt_fwd + dt_host)),
+        "notes_per_s_ids_path": round(n_notes / dt_ids),
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(out))

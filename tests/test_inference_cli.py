@@ -87,6 +87,38 @@ def test_predict_score_and_exports(tmp_path):
     assert root.findall(".//lyric/text")
 
 
+def test_predict_score_ids_matches_probs_path():
+    """The ids-only device decode is prediction-equivalent to
+    argmax(predict_score(...)) — same forward, same onset-wise RNA
+    aggregation and change-point smoothing semantics."""
+    from analysisgnn_tpu.inference.predict import (
+        graph_from_note_array,
+        predict_score_ids,
+    )
+
+    model = small_model()
+    na = synthetic_score(40, seed=3)
+    g = graph_from_note_array(na, add_beats=False, add_measures=False)
+    attrs = g.node_attrs[NOTE]
+    params = model.init(
+        jax.random.PRNGKey(1),
+        g.x_dict(), g.edge_index_dict(), g.batch,
+        attrs["pitch_spelling"], attrs["key_signature"], g.num_target_nodes,
+    )
+    probs = predict_score(model, params, na, add_beats=False, add_measures=False)
+    for bucket in (None, 1.5):  # exact shapes and padded-ladder shapes
+        ids = predict_score_ids(
+            model, params, na, add_beats=False, add_measures=False,
+            bucket_factor=bucket,
+        )
+        assert set(ids) == set(probs)
+        for k in probs:
+            assert ids[k].shape == (len(na),)
+            np.testing.assert_array_equal(
+                ids[k], probs[k].argmax(-1), err_msg=f"task {k} bucket {bucket}"
+            )
+
+
 def test_onsetwise_smooth_constant_within_segments():
     n = 6
     onset_div = np.array([0, 0, 4, 4, 8, 8])

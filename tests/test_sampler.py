@@ -93,3 +93,51 @@ def test_onset_edges_consistent(sampler):
 def test_iteration_covers_dataset(sampler):
     batches = list(iter(sampler))
     assert len(batches) == 2  # 3 scores / batch_size 2 → 2 batches
+
+
+def test_host_batch_matches_device_batch(sampler):
+    """to_device=False yields a numpy-leaf pytree with identical contents —
+    the prefetch-worker path ships it with one jax.device_put."""
+    import jax
+
+    cfg = SamplerConfig(subgraph_size=40, batch_size=2, num_neighbors=(5, 5), seed=5)
+    samples = make_samples()
+    b_dev = SubgraphSampler(samples, cfg).sample_batch([0, 1])
+    b_host = SubgraphSampler(samples, cfg).sample_batch([0, 1], to_device=False)
+    assert isinstance(b_host.node_features[NOTE], np.ndarray)
+    assert isinstance(b_dev.node_features[NOTE], jax.Array)
+    leaves_d = jax.tree.leaves(b_dev)
+    leaves_h = jax.tree.leaves(b_host)
+    assert len(leaves_d) == len(leaves_h)
+    for ld, lh in zip(leaves_d, leaves_h):
+        np.testing.assert_array_equal(np.asarray(ld), np.asarray(lh))
+
+
+def test_spawned_workers_and_prefetch_pool(sampler):
+    """spawn() clones draw from independent RNG streams (parent untouched);
+    prefetch_workers yields exactly `steps` structurally valid batches."""
+    from analysisgnn_tpu.data.prefetch import prefetch_workers
+
+    before = sampler.rng.bit_generator.state
+    workers = sampler.spawn(3)
+    assert sampler.rng.bit_generator.state == before  # parent stream intact
+    batches = list(
+        prefetch_workers([w.sample_batch for w in workers], steps=7)
+    )
+    assert len(batches) == 7
+    ref = sampler.sample_batch([0, 1])
+    for b in batches:
+        # same static shapes as the parent's batches (no recompiles)
+        assert b.node_features[NOTE].shape == ref.node_features[NOTE].shape
+        nt = int(b.num_target_nodes)
+        assert 0 < nt <= b.node_features[NOTE].shape[0]
+
+
+def test_prefetch_workers_propagates_errors():
+    from analysisgnn_tpu.data.prefetch import prefetch_workers
+
+    def boom():
+        raise RuntimeError("worker failed")
+
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(prefetch_workers([boom, boom], steps=4))
