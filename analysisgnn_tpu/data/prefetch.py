@@ -89,12 +89,21 @@ def prefetch_workers(
         t.start()
     done = 0
     yielded = 0
-    while done < len(threads) and yielded < steps:
-        item = q.get()
-        if item is _SENTINEL:
-            done += 1
-            continue
-        yielded += 1
-        yield item
+    try:
+        while done < len(threads) and yielded < steps:
+            item = q.get()
+            if item is _SENTINEL:
+                done += 1
+                continue
+            yielded += 1
+            yield item
+    finally:
+        # unblock any producer parked on a full queue, then drain to its
+        # sentinel — otherwise one thread + queue leaks per epoch
+        with lock:
+            remaining[0] = 0
+        while done < len(threads):
+            if q.get() is _SENTINEL:
+                done += 1
     if err:
         raise err[0]
