@@ -224,6 +224,7 @@ def main(argv=None) -> None:
                 model, params, parsed.note_array, tasks=tasks,
                 feature_type=feature_type,
                 num_devices=args.partition_devices,
+                ids_only=True,
             )
         else:
             # ids-only device decode: the exports below consume class ids,

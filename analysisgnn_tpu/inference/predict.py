@@ -128,38 +128,85 @@ def _jitted_decode(model):
     def decode(params, x_dict, edge_index_dict, batch, ps, ks, ntn,
                rep_rows, n_valid):
         logits = model.apply(params, x_dict, edge_index_dict, batch, ps, ks, ntn)
-        keys = sorted(logits.keys())
-        n_cap = logits[keys[0]].shape[0]
         onset = edge_index_dict[(NOTE, "onset", NOTE)]
-        src, dst = onset[0], onset[1]
-        # padding edges point one past the padded node array (core/graph.py),
-        # so a single `< n_valid` test drops both padding and out-of-score rows
-        valid_e = (src != dst) & (src < n_valid) & (dst < n_valid)
-        if "tpc_in_label" in logits:
-            m = jnp.argmax(logits["tpc_in_label"], axis=-1).astype(bool)
-            cs = jnp.clip(src, 0, n_cap - 1)
-            cd = jnp.clip(dst, 0, n_cap - 1)
-            valid_e = valid_e & m[cs] & m[cd]
-        srcc = jnp.where(valid_e, src, 0)
-        dstc = jnp.where(valid_e, dst, 0)
-        cnt = 1.0 + jax.ops.segment_sum(
-            valid_e.astype(jnp.float32), dstc, num_segments=n_cap
-        )
-        ids = {}
-        for k in keys:
-            if k in RNA_KEYS:
-                p = jax.nn.softmax(logits[k].astype(jnp.float32), axis=-1)
-                msg = jnp.where(valid_e[:, None], p[srcc], 0.0)
-                acc = p + jax.ops.segment_sum(msg, dstc, num_segments=n_cap)
-                rep = (acc / cnt[:, None])[rep_rows]
-                ids[k] = jnp.argmax(rep, axis=-1).astype(jnp.int32)
-            else:
-                ids[k] = jnp.argmax(logits[k], axis=-1).astype(jnp.int32)
-        return jnp.stack([ids[k] for k in keys])
+        return _ids_from_logits(logits, onset, rep_rows, n_valid)
 
     fn = jax.jit(decode)
     _DECODE_CACHE[id(model)] = (model, fn)
     return fn
+
+
+def _ids_from_logits(logits, onset, rep_rows, n_valid):
+    """Device decode core (traced under jit): softmax + onset-edge
+    mean-with-self + representative-row argmax for the RNA keys, plain
+    argmax for every other head; returns ``[T, N]`` int32 stacked in
+    sorted-key order."""
+    import jax
+    import jax.numpy as jnp
+
+    keys = sorted(logits.keys())
+    n_cap = logits[keys[0]].shape[0]
+    src, dst = onset[0], onset[1]
+    # padding edges point one past the padded node array (core/graph.py),
+    # so a single `< n_valid` test drops both padding and out-of-score rows
+    valid_e = (src != dst) & (src < n_valid) & (dst < n_valid)
+    if "tpc_in_label" in logits:
+        m = jnp.argmax(logits["tpc_in_label"], axis=-1).astype(bool)
+        cs = jnp.clip(src, 0, n_cap - 1)
+        cd = jnp.clip(dst, 0, n_cap - 1)
+        valid_e = valid_e & m[cs] & m[cd]
+    srcc = jnp.where(valid_e, src, 0)
+    dstc = jnp.where(valid_e, dst, 0)
+    cnt = 1.0 + jax.ops.segment_sum(
+        valid_e.astype(jnp.float32), dstc, num_segments=n_cap
+    )
+    ids = {}
+    for k in keys:
+        if k in RNA_KEYS:
+            p = jax.nn.softmax(logits[k].astype(jnp.float32), axis=-1)
+            msg = jnp.where(valid_e[:, None], p[srcc], 0.0)
+            acc = p + jax.ops.segment_sum(msg, dstc, num_segments=n_cap)
+            rep = (acc / cnt[:, None])[rep_rows]
+            ids[k] = jnp.argmax(rep, axis=-1).astype(jnp.int32)
+        else:
+            ids[k] = jnp.argmax(logits[k], axis=-1).astype(jnp.int32)
+    return jnp.stack([ids[k] for k in keys])
+
+
+def _rep_rows_and_grid(note_array: np.ndarray):
+    """Host-side onset grid: representative note per unique onset."""
+    onsets = note_array["onset_div"] - note_array["onset_div"].min()
+    order = np.argsort(onsets, kind="stable")
+    uniq, first_idx = np.unique(onsets[order], return_index=True)
+    return onsets, uniq, order[first_idx].astype(np.int32)
+
+
+def _smooth_ids_host(
+    stacked: np.ndarray,
+    keys: Sequence[str],
+    note_array: np.ndarray,
+    uniq: np.ndarray,
+    onsets: np.ndarray,
+    u: int,
+    n: int,
+    tasks: Optional[Sequence[str]],
+) -> Dict[str, np.ndarray]:
+    """Host change-point smoothing on per-onset ids (RNA keys) and slicing
+    for the rest — identical to onsetwise_smooth followed by argmax (the
+    representative row's argmax IS the segment's prediction)."""
+    out: Dict[str, np.ndarray] = {}
+    note_onset_idx = np.searchsorted(uniq, onsets)
+    for i, k in enumerate(keys):
+        if tasks and k not in tasks:
+            continue
+        if k in RNA_KEYS:
+            preds = stacked[i][:u]
+            change = np.r_[0, np.flatnonzero(preds[1:] != preds[:-1]) + 1]
+            seg_of_onset = np.searchsorted(uniq[change], uniq, side="right") - 1
+            out[k] = preds[change][seg_of_onset][note_onset_idx]
+        else:
+            out[k] = stacked[i][:n]
+    return out
 
 
 def predict_score_ids(
@@ -190,10 +237,7 @@ def predict_score_ids(
     cap = graph.capacity(NOTE)
     # one representative note per unique onset (host-side, cheap): the
     # smoothing grid of the reference aggregation
-    onsets = note_array["onset_div"] - note_array["onset_div"].min()
-    order = np.argsort(onsets, kind="stable")
-    uniq, first_idx = np.unique(onsets[order], return_index=True)
-    rep_rows = order[first_idx].astype(np.int32)
+    onsets, uniq, rep_rows = _rep_rows_and_grid(note_array)
     u = len(uniq)
     rep_padded = np.zeros(cap, np.int32)
     rep_padded[:u] = rep_rows
@@ -212,22 +256,7 @@ def predict_score_ids(
     )
     keys = sorted(t for t, _ in model.task_dict)
     stacked = np.asarray(stacked)  # ONE [T, N_cap] int32 host transfer
-    out: Dict[str, np.ndarray] = {}
-    note_onset_idx = np.searchsorted(uniq, onsets)
-    for i, k in enumerate(keys):
-        if tasks and k not in tasks:
-            continue
-        if k in RNA_KEYS:
-            # change-point smoothing on the onset grid, ids only — identical
-            # to onsetwise_smooth followed by argmax (the representative
-            # row's argmax IS the segment's prediction)
-            preds = stacked[i][:u]
-            change = np.r_[0, np.flatnonzero(preds[1:] != preds[:-1]) + 1]
-            seg_of_onset = np.searchsorted(uniq[change], uniq, side="right") - 1
-            out[k] = preds[change][seg_of_onset][note_onset_idx]
-        else:
-            out[k] = stacked[i][:n]
-    return out
+    return _smooth_ids_host(stacked, keys, note_array, uniq, onsets, u, n, tasks)
 
 
 def onsetwise_smooth(
@@ -357,6 +386,7 @@ def predict_score_partitioned(
     tasks: Optional[Sequence[str]] = None,
     feature_type: str = "voice",
     mesh=None,
+    ids_only: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Long-score serving: the full-graph encode partitioned over the device
     mesh (overlap-region regime of ``distributed/partition_encoder.py`` —
@@ -404,11 +434,30 @@ def predict_score_partitioned(
     encode_fn = make_partitioned_encode(model, mesh)
     with mesh:
         emb = unpartition(encode_fn(params, part), part)
+    onset_key = (NOTE, "onset", NOTE)
+    if ids_only:
+        # ids-only decode on device (see predict_score_ids): classify +
+        # softmax + onset aggregation + argmax, ONE [T, N] int32 fetch
+        n = len(note_array)
+        onsets, uniq, rep_rows = _rep_rows_and_grid(note_array)
+        u = len(uniq)
+        rep_padded = np.zeros(n, np.int32)
+        rep_padded[:u] = rep_rows
+
+        def _classify_decode(p, x, onset, rep, n_valid):
+            logits = model.apply(p, x, method=model.classify)
+            return _ids_from_logits(logits, onset, rep, n_valid)
+
+        stacked = np.asarray(jax.jit(_classify_decode)(
+            params, jnp.asarray(emb), jnp.asarray(edges[onset_key]),
+            jnp.asarray(rep_padded), jnp.int32(n),
+        ))
+        keys = sorted(t for t, _ in model.task_dict)
+        return _smooth_ids_host(stacked, keys, note_array, uniq, onsets, u, n, tasks)
     logits = jax.jit(
         lambda p, x: model.apply(p, x, method=model.classify)
     )(params, jnp.asarray(emb))
     logits = {k: np.asarray(v) for k, v in logits.items()}
-    onset_key = (NOTE, "onset", NOTE)
     return _logits_to_probs(logits, note_array, edges[onset_key], tasks)
 
 

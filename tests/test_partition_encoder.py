@@ -144,6 +144,13 @@ def test_predict_score_partitioned_matches_predict_score():
     assert set(got) == set(ref)
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], rtol=2e-4, atol=2e-5)
+    # ids-only serving decode (what the CLI uses): same predictions
+    ids = predict_score_partitioned(
+        model, params, na, mesh=_mesh(4), ids_only=True
+    )
+    assert set(ids) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(ids[k], ref[k].argmax(-1), err_msg=k)
 
 
 @pytest.mark.parametrize("enc,kw", [
