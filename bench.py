@@ -111,10 +111,12 @@ def main() -> None:
             attrs[task] = rng.integers(0, n_cls, size=len(na)).astype(np.int64)
         samples.append(ScoreSample(features=features, edges=g.edges, note_attrs=attrs))
 
-    # reference default scale: subgraph_size=500, neighbors [5,5];
-    # src-sorted edges feed the Pallas fused-aggregation conv path
-    # (A/B vs the XLA scatter path: scripts/bench_pallas_ab.py — 58.2 vs
-    # 60.1 ms/step on the v5e, identical loss)
+    # reference default scale: subgraph_size=500, neighbors [5,5].
+    # Pallas conv path OFF: the late-round on-chip A/B (4 interleaved runs,
+    # bench_queue/hybrid_ab.out) reads 28.1-28.5 ms/step XLA vs 30.8-32.1
+    # with the Pallas fused aggregation on this tunnel runtime, reversing
+    # the earlier mid-round reading — the XLA scatter path is the measured
+    # production default; --use_pallas stays available as a flag.
     cfg = SamplerConfig(
         subgraph_size=500, batch_size=8, num_neighbors=(5, 5), seed=0,
         sort_edges_by_src=True,
@@ -134,7 +136,7 @@ def main() -> None:
         dropout=0.3,
         logit_fusion=False,
         encoder_type="hybridgnn",
-        use_pallas=True,
+        use_pallas=False,
     )
     attrs = batch.node_attrs[NOTE]
     args = (
