@@ -44,6 +44,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_pallas", action="store_true",
                    help="Pallas fused aggregation in the HybridGNN conv path "
                         "(sampler emits src-sorted edges)")
+    p.add_argument("--no_sort_edges", action="store_true",
+                   help="disable src-sorted sampler edges (sorting is the "
+                        "benched default and harmless on the XLA path)")
     p.add_argument("--final_norm", action="store_true",
                    help="ReLU+L2-normalize the final conv output (HybridGNN);"
                         " stabilizes the multi-task recipe at lr=5e-3")
@@ -217,7 +220,13 @@ def build_datamodule(config: Dict):
         augment=config.get("use_transpositions", False),
         seed=config.get("seed", 0),
         max_samples=config.get("max_samples"),
-        sort_edges_by_src=config.get("use_pallas", False),
+        # Src-sorted edges are the benched configuration (bench.py) and are
+        # harmless on the XLA path, so they are the default; Pallas requires
+        # them regardless.
+        sort_edges_by_src=(
+            not config.get("no_sort_edges", False)
+            or config.get("use_pallas", False)
+        ),
     )
     return AnalysisDataModule(task_samples, dm_cfg).setup()
 

@@ -159,8 +159,9 @@ def main() -> None:
     )
     # production ``--scan_steps`` path: K optimizer updates fused into one
     # device dispatch via lax.scan (bit-identical math to K sequential steps,
-    # tests/test_train_step.py); amortizes per-dispatch latency —
-    # scripts/bench_scan_ab.py measured 31.9 → 30.1 ms/step on the v5e
+    # tests/test_train_step.py); amortizes per-dispatch latency.
+    # scripts/bench_scan_ab.py A/Bs K on-chip (see docs/STATUS.md for the
+    # reading on the shipped XLA path).
     K = 6
     train_step_multi = make_train_step_multi(model, opt, step_cfg)
 

@@ -1,11 +1,13 @@
 """A/B: per-step dispatch vs K-fused lax.scan train steps on the real chip.
 
 Same workload as bench.py (HybridGNN 3x256, 21 tasks, subgraph 500 x 8,
-Pallas conv path).  Measures edges/s for (a) 24 single-step dispatches and
-(b) 24/K dispatches of make_train_step_multi with K steps each — the
-production ``--scan_steps`` path (train/step.py::make_train_step_multi).
+XLA scatter path by default — the shipped bench configuration; pass
+``--pallas`` to A/B the flag-gated Pallas conv path instead).  Measures
+edges/s for (a) 24 single-step dispatches and (b) 24/K dispatches of
+make_train_step_multi with K steps each — the production ``--scan_steps``
+path (train/step.py::make_train_step_multi).
 
-    python scripts/bench_scan_ab.py [K]
+    python scripts/bench_scan_ab.py [K] [--pallas]
 """
 
 from __future__ import annotations
@@ -51,7 +53,9 @@ def main() -> None:
         stack_batches,
     )
 
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    use_pallas = "--pallas" in sys.argv[1:]
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(pos[0]) if pos else 6
     tasks = tuple(TASK_DICT.items())
     samples = []
     for s in range(4):
@@ -85,7 +89,7 @@ def main() -> None:
     model = AnalysisGNN(
         metadata=(nodes, edges_meta), in_channels=25, hidden_channels=256,
         out_channels=128, task_dict=tasks, num_layers=3, dropout=0.3,
-        logit_fusion=False, encoder_type="hybridgnn", use_pallas=True,
+        logit_fusion=False, encoder_type="hybridgnn", use_pallas=use_pallas,
     )
     attrs = batch.node_attrs[NOTE]
     args = (
@@ -132,6 +136,7 @@ def main() -> None:
 
     print(json.dumps({
         "k": k,
+        "use_pallas": use_pallas,
         "per_step_ms": round(dt_a / S * 1e3, 2),
         "scan_ms_per_step": round(dt_b / ((S // k) * k) * 1e3, 2),
         "per_step_edges_per_s": round(edges_per_batch * S / dt_a),
