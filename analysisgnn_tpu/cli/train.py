@@ -44,6 +44,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_pallas", action="store_true",
                    help="Pallas fused aggregation in the HybridGNN conv path "
                         "(sampler emits src-sorted edges)")
+    p.add_argument("--subgraph_sample_ratio", type=float, default=0.5,
+                   help="train-epoch subgraphs per corpus graph (reference "
+                        "MuseNeighborLoader subgraph_sample_ratio=0.5)")
     p.add_argument("--no_sort_edges", action="store_true",
                    help="disable src-sorted sampler edges (sorting is the "
                         "benched default and harmless on the XLA path)")
@@ -220,6 +223,7 @@ def build_datamodule(config: Dict):
         augment=config.get("use_transpositions", False),
         seed=config.get("seed", 0),
         max_samples=config.get("max_samples"),
+        subgraph_sample_ratio=config.get("subgraph_sample_ratio", 0.5),
         # Src-sorted edges are the benched configuration (bench.py) and are
         # harmless on the XLA path, so they are the default; Pallas requires
         # them regardless.

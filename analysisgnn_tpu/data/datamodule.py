@@ -79,6 +79,13 @@ class DataModuleConfig:
     eval_subgraph_size: int = 10000
     # src-sorted edge emission for the Pallas conv path
     sort_edges_by_src: bool = False
+    # reference train-loader ``subgraph_sample_ratio`` (0.5 at every
+    # MuseNeighborLoader call site, reference datamodules/analysis.py:
+    # 270-324): one train epoch draws ratio*num_graphs random subgraphs.
+    # Applied to TRAIN samplers only — val/test keep full deterministic
+    # passes so metrics stay comparable across epochs (divergence noted in
+    # MIGRATION.md).
+    subgraph_sample_ratio: float = 0.5
 
 
 class AnalysisDataModule:
@@ -123,14 +130,16 @@ class AnalysisDataModule:
                 num_neighbors=tuple(c.num_neighbors),
                 seed=c.seed,
                 sort_edges_by_src=c.sort_edges_by_src,
+                subgraph_sample_ratio=c.subgraph_sample_ratio,
             )
+            val_cfg = dataclasses.replace(train_cfg, subgraph_sample_ratio=1.0)
             if tr:
                 self._train_samplers[task] = SubgraphSampler(
                     [samples[i] for i in tr], train_cfg
                 )
             if va:
                 self._val_samplers[task] = SubgraphSampler(
-                    [samples[i] for i in va], train_cfg, shuffle=False
+                    [samples[i] for i in va], val_cfg, shuffle=False
                 )
             if te:
                 eval_cfg = SamplerConfig(
@@ -198,5 +207,4 @@ class AnalysisDataModule:
             yield from iter(self._test_samplers[task])
 
     def steps_per_epoch(self, task: str) -> int:
-        s = self._train_samplers[task]
-        return max(len(s.samples) // s.cfg.batch_size, 1)
+        return self._train_samplers[task].num_epoch_batches()

@@ -51,6 +51,15 @@ class ScoreSample:
         return self.features[NOTE].shape[0]
 
 
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized per-segment arange)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    seg_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(seg_start, counts)
+
+
 def _csr_by_src(edge_index: np.ndarray, num_src: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sort edges by src and build row pointers (CSR)."""
     src, dst = edge_index[0], edge_index[1]
@@ -100,6 +109,16 @@ class SamplerConfig:
     # warning + counter (see ``edge_overflow``).  0 disables.
     calibrate_batches: int = 8
     edge_capacity_headroom: float = 1.5
+    # Reference loader's ``subgraph_sample_ratio`` (train loaders pass 0.5,
+    # reference data/datamodules/analysis.py:270-293; the graphmuse C
+    # sampler is uninstallable here, so this is a RECONSTRUCTION of its
+    # contract, documented in MIGRATION.md): the ratio scales how many
+    # subgraphs one epoch draws relative to the corpus size — an epoch
+    # yields ``ceil(ratio * num_graphs / batch_size)`` batches of randomly
+    # chosen graphs instead of one pass over a shuffled graph list.  With
+    # ratio < 1 an epoch visits a random subset (the train setting); with
+    # ratio 1.0 the epoch length matches one full pass in expectation.
+    subgraph_sample_ratio: float = 1.0
 
 
 class SubgraphSampler:
@@ -141,6 +160,12 @@ class SubgraphSampler:
         self.edge_overflow: Dict[EdgeType, int] = {}
         self.overflow_batches: int = 0
         self._warned_overflow = False
+        # per-hop sampled-node counts of the LAST _sample_one call
+        # (hop 0 = targets) — the observable analog of the reference
+        # loader's ``num_sampled_nodes_dict`` per-hop contract, used to
+        # MEASURE the receptive-field distribution vs the graphmuse spec
+        # (tests/test_sampler_contract.py) instead of assuming parity.
+        self.last_hop_counts: List[Dict[str, int]] = []
 
     # ------------------------------------------------------------------ #
 
@@ -210,6 +235,7 @@ class SubgraphSampler:
         selected[NOTE].append(targets)
         seen[NOTE][targets] = True
         frontier: Dict[str, np.ndarray] = {NOTE: targets}
+        hop_counts: List[Dict[str, int]] = [{NOTE: int(w)}]
 
         for hop, k in enumerate(cfg.num_neighbors):
             new_frontier: Dict[str, List[np.ndarray]] = {t: [] for t in s.features}
@@ -220,18 +246,34 @@ class SubgraphSampler:
                 nodes = frontier[src_t]
                 starts_, ends_ = indptr[nodes], indptr[nodes + 1]
                 degs = ends_ - starts_
-                cap = np.minimum(degs, k)
-                total = int(cap.sum())
-                if total == 0:
+                if int(degs.sum()) == 0:
                     continue
-                # sample up to k neighbors per node — vectorized sampling
-                # WITH replacement (duplicates are deduped downstream by the
-                # seen-mask + np.unique, preserving loader semantics)
-                deg_per_slot = np.repeat(degs, cap)
-                within = (
-                    self.rng.random(total) * deg_per_slot
-                ).astype(np.int64)
-                picked = dst_sorted[np.repeat(starts_, cap) + within]
+                # up to k DISTINCT neighbors per node, uniformly WITHOUT
+                # replacement — the graphmuse C-sampler contract (per-hop
+                # distribution parity measured in
+                # tests/test_sampler_contract.py).  Nodes with degree <= k
+                # take every neighbor; higher-degree nodes draw k by random
+                # per-edge keys ranked within the node's segment.
+                easy = degs <= k
+                parts: List[np.ndarray] = []
+                if easy.any():
+                    d_e = degs[easy]
+                    idx = np.repeat(starts_[easy], d_e) + _ragged_arange(d_e)
+                    parts.append(dst_sorted[idx])
+                if (~easy).any():
+                    d_h = degs[~easy]
+                    tot = int(d_h.sum())
+                    owner_edges = np.repeat(starts_[~easy], d_h) + _ragged_arange(d_h)
+                    keys = self.rng.random(tot)
+                    owner = np.repeat(np.arange(len(d_h)), d_h)
+                    order = np.lexsort((keys, owner))
+                    seg_start = np.concatenate([[0], np.cumsum(d_h)[:-1]])
+                    ranks = np.empty(tot, np.int64)
+                    ranks[order] = np.arange(tot, dtype=np.int64) - np.repeat(
+                        seg_start, d_h
+                    )
+                    parts.append(dst_sorted[owner_edges[ranks < k]])
+                picked = np.concatenate(parts)
                 fresh = picked[~seen[dst_t][picked]]
                 if len(fresh):
                     fresh = np.unique(fresh)
@@ -247,6 +289,8 @@ class SubgraphSampler:
                 t: (np.concatenate(v) if v else np.zeros(0, np.int64))
                 for t, v in new_frontier.items()
             }
+            hop_counts.append({t: int(len(v)) for t, v in frontier.items()})
+        self.last_hop_counts = hop_counts
 
         order: Dict[str, np.ndarray] = {
             t: (np.concatenate(v) if v else np.zeros(0, np.int64))
@@ -433,7 +477,19 @@ class SubgraphSampler:
             to_device=to_device,
         )
 
+    def num_epoch_batches(self) -> int:
+        """Batches one epoch yields under ``subgraph_sample_ratio``."""
+        r = self.cfg.subgraph_sample_ratio
+        n = len(self.samples)
+        return max(int(np.ceil(r * n / self.cfg.batch_size)), 1)
+
     def __iter__(self):
+        if self.cfg.subgraph_sample_ratio != 1.0:
+            # reference train-loader semantics (subgraph_sample_ratio=0.5):
+            # the epoch draws ratio*n random subgraphs, not one full pass
+            for _ in range(self.num_epoch_batches()):
+                yield self.sample_batch()
+            return
         idx = np.arange(len(self.samples))
         if self.shuffle:
             self.rng.shuffle(idx)

@@ -25,6 +25,7 @@ def raw_dir(tmp_path):
     return str(tmp_path / "raw")
 
 
+@pytest.mark.slow
 def test_cli_train_on_raw_dir(raw_dir, tmp_path):
     from analysisgnn_tpu.cli import train as train_cli
 

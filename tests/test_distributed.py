@@ -15,6 +15,7 @@ def test_mesh_axes():
     assert mesh.shape["model"] == 2
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_runs():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")

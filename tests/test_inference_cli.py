@@ -208,6 +208,7 @@ def test_resolve_checkpoint_chain(tmp_path):
                            str(tmp_path / "empty"))
 
 
+@pytest.mark.slow
 def test_cli_train_predict_roundtrip_hgt_emax(tmp_path):
     """HGT emax checkpoints must restore at predict time: the union-stack
     param structure is static (family-based), not a function of the live
@@ -314,6 +315,7 @@ def test_cli_batch_score_dir(tmp_path):
         predict_cli.main(["--checkpoint_dir", ckpt])
 
 
+@pytest.mark.slow
 def test_cli_partition_devices(tmp_path):
     """--partition_devices with an Orbax-RESTORED checkpoint: restored
     params arrive committed to one device and must be replicated over the

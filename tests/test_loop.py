@@ -51,6 +51,7 @@ def test_expand_main_task():
     assert len(expand_main_task("all", TASK_DICT)) == len(TASK_DICT)
 
 
+@pytest.mark.slow
 def test_cl_training_sequence(tmp_path):
     dm = make_dm()
     cfg = TrainConfig(
@@ -183,6 +184,7 @@ def test_scan_steps_training(tmp_path):
     assert np.isfinite(trainer.history[0]["train_loss"])
 
 
+@pytest.mark.slow
 def test_cl_training_full_feature_stack(tmp_path):
     """CL sequencing with logit fusion + RNN smoothing + HGT emax grouping
     all ON — the round-2 gap where these paths had only been exercised as

@@ -1,6 +1,7 @@
 """PitchSpelling models, UNet, pure-python GraphSampler."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -38,6 +39,7 @@ def test_pitch_spelling_gnn():
     assert np.isfinite(np.asarray(pc)).all()
 
 
+@pytest.mark.slow
 def test_unet():
     x = jnp.zeros((2, 32, 32, 3))
     model = UNet(features=(8, 16, 32), out_channels=2)

@@ -48,6 +48,7 @@ def make_params(relations, f, rng):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_partitioned_forward_matches_full():
     rng = np.random.default_rng(0)
     na = synthetic_score(num_notes=512, seed=0)

@@ -4,6 +4,8 @@ regimes vs the unpartitioned forward (VERDICT round-1 item 4)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
