@@ -28,6 +28,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from analysisgnn_tpu.data.musicxml import ParsedScore, _RawNote, assemble_note_array
+from analysisgnn_tpu.utils.general import exit_after, parse_budget_s
 
 _STEP_SEMITONE = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
 
@@ -97,6 +98,7 @@ class _OpenNote:
         self.staff = staff
 
 
+@exit_after(parse_budget_s())
 def parse_kern(path_or_text: str) -> ParsedScore:
     if "\n" in path_or_text or "\t**" in path_or_text or path_or_text.startswith("**"):
         text = path_or_text

@@ -25,6 +25,7 @@ from xml.etree import ElementTree as ET
 import numpy as np
 
 from analysisgnn_tpu.data.note_array import NOTE_ARRAY_DTYPE
+from analysisgnn_tpu.utils.general import exit_after, parse_budget_s
 
 _STEP_SEMITONE = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
 
@@ -81,6 +82,7 @@ def _int(el: Optional[ET.Element], default: int = 0) -> int:
         return default
 
 
+@exit_after(parse_budget_s())
 def parse_musicxml(path_or_root) -> ParsedScore:
     root = (
         path_or_root
@@ -107,7 +109,15 @@ def parse_musicxml(path_or_root) -> ParsedScore:
                 if el.tag == "attributes":
                     d = el.find("divisions")
                     if d is not None:
-                        divisions = int(_text(d, "1"))
+                        try:
+                            v = int(float(_text(d, "1")))
+                        except ValueError:
+                            v = 0
+                        # zero/negative divisions are export bugs; keep the
+                        # previous (or default) grid rather than poisoning
+                        # every subsequent onset/duration
+                        if v > 0:
+                            divisions = v
                     t = el.find("time")
                     if t is not None and p_idx == 0:
                         ts_changes.append(
@@ -223,6 +233,17 @@ def assemble_note_array(
         na[i]["staff"] = n.staff
         na[i]["ks_fifths"] = fifths
         na[i]["ks_mode"] = mode
+    # ---- sanitize: hostile exports must never yield silently-wrong rows ----
+    # (fuzz contract, tests/test_fuzz_frontends.py) — out-of-range pitches
+    # (absurd octave/alter) and negative onsets (backup past measure start)
+    # are unplaceable: drop the row; negative durations clamp to zero.
+    na["duration_div"] = np.maximum(na["duration_div"], 0)
+    na["duration_beat"] = np.maximum(na["duration_beat"], 0.0)
+    keep = (na["pitch"] >= 0) & (na["pitch"] < 128) & (na["onset_div"] >= 0)
+    if not keep.all():
+        na = na[keep]
+    if len(na) == 0:
+        raise ValueError("score contains no placeable pitched notes")
     na["is_downbeat"] = np.remainder(na["onset_beat"], na["ts_beats"]) == 0
     na = np.sort(na, order=["onset_div", "pitch"])
 

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 
 from analysisgnn_tpu.data.note_array import NOTE_ARRAY_DTYPE
+from analysisgnn_tpu.utils.general import exit_after, parse_budget_s
 from analysisgnn_tpu.theory.encoders import CadenceEncoder
 from analysisgnn_tpu.theory.vocab import (
     available_representations,
@@ -29,6 +30,7 @@ from analysisgnn_tpu.theory.vocab import (
 )
 
 
+@exit_after(parse_budget_s())
 def load_pitch_array(path: str, dropna_tpc: bool = True) -> pd.DataFrame:
     df = pd.read_csv(path, sep="\t", low_memory=False)
     if dropna_tpc and "tpc" in df.columns:
@@ -63,14 +65,27 @@ def clean_pitch_frame(df: pd.DataFrame) -> pd.DataFrame:
             "pitch array has neither a 'pitch' nor an 's_midi' column"
         )
     df[pitch_col] = pd.to_numeric(df[pitch_col], errors="coerce")
-    usable = df["onset_div"].notna() & df[pitch_col].notna()
+    # replace non-finite numerics (inf from hostile exports) with NA so the
+    # usable-row filter / interpolation below treats them as missing
+    for col in ("onset_div", "onset_beat", pitch_col):
+        if col in df.columns:
+            v = df[col].to_numpy(dtype=float, na_value=np.nan)
+            df[col] = np.where(np.isfinite(v), v, np.nan)
+    usable = (
+        df["onset_div"].notna()
+        & df[pitch_col].notna()
+        & (df[pitch_col] >= 0)
+        & (df[pitch_col] < 128)  # MIDI range; out-of-range is unplaceable
+    )
     df = df[usable].reset_index(drop=True)
     # duration default is 1 div whether the column is missing entirely or a
     # cell is NA (a 0 default would create zero-extent notes for the
     # during/consecutive edge builders)
-    df["duration_div"] = df.get(
-        "duration_div", pd.Series([1] * len(df))
-    ).fillna(1)
+    df["duration_div"] = (
+        df.get("duration_div", pd.Series([1] * len(df)))
+        .fillna(1)
+        .clip(lower=0)  # negative durations are export bugs, never real
+    )
     if "ts_beats" not in df.columns:
         df["ts_beats"] = 4
     df["ts_beats"] = (

@@ -7,10 +7,19 @@ hgraph.py:111,303) and the ``MapDict`` attr-dict (:35-63).
 
 from __future__ import annotations
 
+import os
 import threading
 from typing import Any, Callable, TypeVar
 
 F = TypeVar("F", bound=Callable)
+
+
+def parse_budget_s() -> float:
+    """Per-score parse budget applied to every data front-end
+    (parse_musicxml / parse_kern / load_pitch_array) — the reference bounds
+    per-score parse time the same way (``exit_after`` at hgraph.py:111,303).
+    Override with ``AGT_PARSE_BUDGET_S``."""
+    return float(os.environ.get("AGT_PARSE_BUDGET_S", "60"))
 
 
 class TimeoutError_(Exception):
@@ -48,6 +57,7 @@ def exit_after(seconds: float) -> Callable[[F], F]:
             return result[0]
 
         wrapped.__name__ = fn.__name__
+        wrapped.__wrapped__ = fn
         return wrapped  # type: ignore[return-value]
 
     return decorator

@@ -26,7 +26,7 @@ REPORT = ("localkey", "romanNumeral", "root")
 
 
 def run(name, lr=5e-3, flatten=True, use_jk=True, no_l2=False, wd=5e-3,
-        clip=1.0, final_norm=False, dense_proj=False):
+        clip=1.0, final_norm=False, dense_proj=False, dropout=0.0):
     if final_norm:
         import functools
 
@@ -64,7 +64,7 @@ def run(name, lr=5e-3, flatten=True, use_jk=True, no_l2=False, wd=5e-3,
         model = AnalysisGNN(
             metadata=(nodes, ets), in_channels=dm.feature_dim,
             hidden_channels=256, out_channels=128, task_dict=tasks,
-            num_layers=3, dropout=0.0, use_jk=use_jk,
+            num_layers=3, dropout=dropout, use_jk=use_jk,
         )
         b0 = batches[0]
         a0 = b0.node_attrs[NOTE]
@@ -152,6 +152,17 @@ ARMS = {
     # lr=5e-3 collapse is architectural, not a framework defect.
     "combo": lambda: run("combo d+nojk+fn", use_jk=False, final_norm=True,
                          dense_proj=True),
+    # --- reference-recipe arms (lr=5e-3, dropout=0.3 — the verbatim
+    # defaults, train_analysisgnn.py:57-59): which minimal architecture
+    # stabilizer makes the DEFAULT train cleanly out of the box? ---
+    "ref-base": lambda: run("REF base      ", dropout=0.3),
+    "ref-fnorm": lambda: run("REF fnorm     ", dropout=0.3, final_norm=True),
+    "ref-fnorm-nojk": lambda: run("REF fn nojk  ", dropout=0.3,
+                                  final_norm=True, use_jk=False),
+    "ref-fnorm-dense": lambda: run("REF fn dense ", dropout=0.3,
+                                   final_norm=True, dense_proj=True),
+    "ref-combo": lambda: run("REF combo     ", dropout=0.3, use_jk=False,
+                             final_norm=True, dense_proj=True),
 }
 
 if __name__ == "__main__":
