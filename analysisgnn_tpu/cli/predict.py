@@ -140,7 +140,10 @@ def load_model_and_params(checkpoint_dir: str, tag: str):
         num_layers=cfg["num_layers"],
         dropout=cfg.get("dropout", 0.3),
         use_jk=cfg.get("use_jk", True),
+        # absent keys mean a pre-round-3 checkpoint: deep stacks, raw final
+        # conv (the old defaults) — new train runs write both keys
         final_norm=cfg.get("final_norm", False),
+        plain_proj=cfg.get("plain_proj", False),
         logit_fusion=cfg.get("logit_fusion", False),
         use_rnn=cfg.get("use_rnn", False),
         hgt_group_mode=cfg.get("hgt_group_mode", "pair"),

@@ -50,9 +50,18 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_sort_edges", action="store_true",
                    help="disable src-sorted sampler edges (sorting is the "
                         "benched default and harmless on the XLA path)")
-    p.add_argument("--final_norm", action="store_true",
+    p.add_argument("--final_norm", action="store_true", default=True,
                    help="ReLU+L2-normalize the final conv output (HybridGNN);"
-                        " stabilizes the multi-task recipe at lr=5e-3")
+                        " stabilizes the multi-task recipe at lr=5e-3"
+                        " (default ON since round 3)")
+    p.add_argument("--no_final_norm", dest="final_norm", action="store_false",
+                   help="leave the final conv raw, as the reference HGCN"
+                        " does (core/hgnn.py:178-179)")
+    p.add_argument("--deep_proj", dest="plain_proj", action="store_false",
+                   default=True,
+                   help="use the reference's deep projection stacks"
+                        " (analysis.py:429-443/:474-485) instead of the"
+                        " measured-stable single-Dense default")
     p.add_argument("--tags", type=str, default="", help="wandb run tags")
     p.add_argument("--homogeneous", action="store_true",
                    help="accepted for parity (hetero path is always used)")
@@ -249,7 +258,8 @@ def main(argv=None) -> None:
         weight_decay=config["weight_decay"],
         model=config["model"],
         use_jk=config.get("use_jk", True),
-        final_norm=config.get("final_norm", False),
+        final_norm=config.get("final_norm", True),
+        plain_proj=config.get("plain_proj", True),
         use_pallas=config.get("use_pallas", False),
         hgt_group_mode=config.get("hgt_group_mode", "pair"),
         remat=config.get("remat", False),
@@ -291,6 +301,7 @@ def main(argv=None) -> None:
                 "model": tc.model,
                 "use_jk": tc.use_jk,
                 "final_norm": tc.final_norm,
+                "plain_proj": tc.plain_proj,
                 "logit_fusion": tc.logit_fusion,
                 "use_rnn": tc.use_rnn,
                 # EFFECTIVE grouping: --use_pallas forces the emax union

@@ -141,6 +141,76 @@ _KEYS = [
 ]
 # NOTE: minor tonic LOF above is the LOF of the *tonic tone* (e.g. 'a' → A=3)
 
+# retrogression-heavy grammars for the OOD style: root motion the default
+# tables never produce (V->IV, plagal loops, mediant chains, deceptive
+# resolutions weighted up) while staying inside the same chord vocabulary,
+# so a model trained on the default grammar sees a genuinely shifted
+# progression distribution at eval time (VERDICT r2 ask #7).
+_MAJOR_NEXT_OOD = {
+    "I": ["iii", "vi", "IV", "V7", "ii", "I", "viio"],
+    "ii": ["vi", "iii", "V", "IV"],
+    "iii": ["IV", "vi", "ii", "I"],
+    "IV": ["I", "iii", "ii", "IV", "V"],
+    "V": ["IV", "vi", "vi", "I", "iii"],
+    "V7": ["vi", "vi", "IV", "I"],
+    "vi": ["iii", "IV", "ii", "V"],
+    "viio": ["vi", "I"],
+}
+_MINOR_NEXT_OOD = {
+    "i": ["III", "VI", "iv", "V7", "iio", "i", "viio7"],
+    "iio": ["VI", "III", "V", "iv"],
+    "III": ["iv", "VI", "iio", "i"],
+    "iv": ["i", "III", "iio", "iv", "V"],
+    "V": ["iv", "VI", "VI", "i", "III"],
+    "V7": ["VI", "VI", "iv", "i"],
+    "VI": ["III", "iv", "iio", "V"],
+    "viio7": ["VI", "i"],
+}
+
+
+@dataclass(frozen=True)
+class Style:
+    """Generation-style knobs; ``ood`` shifts every distribution the model
+    could overfit to (grammar, NCT density, rhythm, cadence mix, key set)
+    without leaving the label vocabularies."""
+
+    name: str = "default"
+    nct_prob: float = 0.3
+    nct_on_short: bool = False  # NCT splits on 4-div chords too
+    tonicize_prob: float = 0.18
+    modulate_prob: float = 0.3
+    pedal_prob: float = 0.15
+    duration_choices: Tuple[int, ...] = (4, 4, 8)
+    cadence_choices: Tuple[str, ...] = ("PAC", "PAC", "IAC", "HC")
+    keys: Tuple[Tuple[str, int, str], ...] = tuple(_KEYS)
+    next_major: Optional[Dict[str, List[str]]] = None
+    next_minor: Optional[Dict[str, List[str]]] = None
+
+
+STYLES: Dict[str, Style] = {
+    "default": Style(),
+    "ood": Style(
+        name="ood",
+        nct_prob=0.6,
+        nct_on_short=True,
+        tonicize_prob=0.32,
+        modulate_prob=0.5,
+        pedal_prob=0.3,
+        duration_choices=(2, 4, 4, 6, 8),
+        # deceptive cadences (class 4 = DC/EC/PC) appear only here
+        cadence_choices=("IAC", "HC", "PAC", "DC", "HC"),
+        # disjoint emphasis: flat-side majors and sharp-side minors that the
+        # default corpus draws rarely, plus keys it never uses
+        keys=(
+            ("Ab", -4, "M"), ("Db", -5, "M"), ("Eb", -3, "M"), ("B", 5, "M"),
+            ("E", 4, "M"), ("f", -1, "m"), ("f#", 6, "m"), ("c#", 7, "m"),
+            ("bb", -2, "m"), ("g", 1, "m"),
+        ),
+        next_major=_MAJOR_NEXT_OOD,
+        next_minor=_MINOR_NEXT_OOD,
+    ),
+}
+
 
 @dataclass
 class Chord:
@@ -206,12 +276,15 @@ def generate_phrase(
     tonic_lof: int,
     mode: str,
     n_chords: int,
+    style: Style = STYLES["default"],
 ) -> List[Chord]:
     table = _chord_table(mode)
     nxt = _next_table(mode)
+    if style.next_major is not None:
+        nxt = style.next_major if mode == "M" else style.next_minor
     tonic = "I" if mode == "M" else "i"
     dominant7 = "V7"
-    cadence_kind = rng.choice(["PAC", "PAC", "IAC", "HC"])
+    cadence_kind = rng.choice(list(style.cadence_choices))
     chords: List[Chord] = []
     cur = tonic
     body = max(n_chords - 2, 2)
@@ -227,7 +300,7 @@ def generate_phrase(
         if (
             i >= 1
             and cur not in (tonic, "viio", "viio7")
-            and rng.random() < 0.18
+            and rng.random() < style.tonicize_prob
         ):
             t_name, t_lof, t_mode = _key_of_degree(tonic_lof, mode, d1)
             chords.append(
@@ -257,7 +330,7 @@ def generate_phrase(
                 root_lof=tonic_lof + off,
                 quality=quality,
                 inversion=inversion,
-                duration_divs=int(rng.choice([4, 4, 8])),
+                duration_divs=int(rng.choice(list(style.duration_choices))),
             )
         )
         cur = str(rng.choice(nxt[cur]))
@@ -281,19 +354,21 @@ def generate_phrase(
                 quality="dominant seventh chord", inversion=0, duration_divs=4,
             )
         )
-        d1_t, off_t, q_t = table[tonic]
+        # DC = deceptive: V7 resolves to the submediant, not the tonic
+        goal = ("vi" if mode == "M" else "VI") if cadence_kind == "DC" else tonic
+        d1_t, off_t, q_t = table[goal]
         chords.append(
             Chord(
                 key_name=key_name, tonic_lof=tonic_lof, mode=mode,
-                numeral=tonic, degree1=d1_t, degree2=None, tonicized_key=None,
+                numeral=goal, degree1=d1_t, degree2=None, tonicized_key=None,
                 root_lof=tonic_lof + off_t, quality=q_t,
                 # IAC = imperfect: tonic arrival in first inversion
-                inversion=0 if cadence_kind == "PAC" else 1,
+                inversion=0 if cadence_kind in ("PAC", "DC") else 1,
                 duration_divs=8, phrase_end=True, cadence=cadence_kind,
             )
         )
     # occasional tonic pedal under the opening chords
-    if rng.random() < 0.15:
+    if rng.random() < style.pedal_prob:
         for c in chords[: int(rng.integers(2, 5))]:
             c.pedal = True
     return chords
@@ -328,7 +403,8 @@ def _nearest_octave(pc: int, target_midi: int, lo: int, hi: int) -> int:
 
 
 def realize_voices(
-    rng: np.random.Generator, chords: List[Chord]
+    rng: np.random.Generator, chords: List[Chord],
+    style: Style = STYLES["default"],
 ) -> List[NoteRow]:
     rows: List[NoteRow] = []
     onset = 0
@@ -348,7 +424,8 @@ def realize_voices(
             prev[v] = midi
             # occasionally split an upper voice and insert a passing /
             # neighbor non-chord tone in the second half
-            if v != 4 and ch.duration_divs == 8 and rng.random() < 0.3:
+            splittable = ch.duration_divs >= (4 if style.nct_on_short else 8)
+            if v != 4 and splittable and rng.random() < style.nct_prob:
                 half = ch.duration_divs // 2
                 rows.append(NoteRow(onset, half, lof, midi, v, 1, ch))
                 step_dir = int(rng.choice([-1, 1]))
@@ -387,31 +464,34 @@ _TS_BEATS = 4
 _DIVS_PER_MEASURE = _DIVS_PER_BEAT * _TS_BEATS
 
 
-def generate_piece(seed: int, n_phrases: int = 8):
+def generate_piece(seed: int, n_phrases: int = 8, style: str = "default"):
     """Generate one piece; returns a pandas DataFrame in DLC TSV schema."""
     import pandas as pd
 
+    st = STYLES[style]
+    keys = list(st.keys)
     rng = np.random.default_rng(seed)
-    key_name, tonic_lof, mode = _KEYS[int(rng.integers(0, len(_KEYS)))]
+    key_name, tonic_lof, mode = keys[int(rng.integers(0, len(keys)))]
     ks_fifths = int(np.clip(tonic_lof if mode == "M" else tonic_lof - 3, -7, 7))
     chords: List[Chord] = []
     section_len = int(rng.integers(2, 5))
     cur_key = (key_name, tonic_lof, mode)
     for p in range(n_phrases):
         # modulate to a related key between phrases occasionally
-        if p > 0 and rng.random() < 0.3:
+        if p > 0 and rng.random() < st.modulate_prob:
             candidates = [
-                k for k in _KEYS if abs(k[1] - cur_key[1]) <= 2 and k != cur_key
+                k for k in keys if abs(k[1] - cur_key[1]) <= 2 and k != cur_key
             ]
-            cur_key = candidates[int(rng.integers(0, len(candidates)))]
+            if candidates:
+                cur_key = candidates[int(rng.integers(0, len(candidates)))]
         phrase = generate_phrase(
             rng, cur_key[0], cur_key[1], cur_key[2],
-            n_chords=int(rng.integers(6, 11)),
+            n_chords=int(rng.integers(6, 11)), style=st,
         )
         if p % section_len == 0:
             phrase[0].section_start = True
         chords.extend(phrase)
-    rows = realize_voices(rng, chords)
+    rows = realize_voices(rng, chords, style=st)
     rows.sort(key=lambda r: (r.onset_div, -r.voice, r.octave_midi))
 
     recs = []
@@ -475,12 +555,13 @@ def write_corpus(
     n_phrases: int = 8,
     seed: int = 0,
     test_fraction: float = 0.2,
+    style: str = "default",
 ) -> Dict[str, List[str]]:
     """Write a corpus of TSVs into ``out_dir``; returns train/test names."""
     os.makedirs(out_dir, exist_ok=True)
     names = []
     for i in range(n_pieces):
-        df = generate_piece(seed * 10_000 + i, n_phrases=n_phrases)
+        df = generate_piece(seed * 10_000 + i, n_phrases=n_phrases, style=style)
         name = f"synth_{seed:02d}_{i:03d}"
         df.to_csv(os.path.join(out_dir, f"{name}.tsv"), sep="\t", index=False)
         names.append(name)

@@ -25,7 +25,11 @@ from analysisgnn_tpu.core.graph import EdgeType, NOTE
 from analysisgnn_tpu.kernels.segment_ops import segment_mean_with_base
 from analysisgnn_tpu.models.encoders import ENCODERS
 from analysisgnn_tpu.models.heads import TaskHeads
-from analysisgnn_tpu.models.mlp import EncoderProjection, ProjectionMLP
+from analysisgnn_tpu.models.mlp import (
+    EncoderProjection,
+    PlainProjection,
+    ProjectionMLP,
+)
 from analysisgnn_tpu.models.rnn import StackedBiGRU, segment_starts
 
 PITCH_SPELLING_CLASSES = 35
@@ -67,7 +71,13 @@ class AnalysisGNN(nn.Module):
     # (HybridGNN only).  The reference HGCN leaves the last layer raw
     # (core/hgnn.py:178-179), which is measurably unstable in the
     # multi-task recipe at the reference lr — see encoders.HybridGNN.
-    final_norm: bool = False
+    # Default ON since round 3: the out-of-the-box configuration must train
+    # cleanly at the reference recipe (lr=5e-3, dropout=0.3).
+    final_norm: bool = True
+    # Single-Dense projections (measured-stable default at the reference
+    # recipe); False restores the reference's deep projection stacks
+    # (ProjectionMLP/EncoderProjection, reference :429-443/:474-485)
+    plain_proj: bool = True
     # Pallas fused aggregation in the HybridGNN conv path (needs the
     # sampler's src-sorted edge order)
     use_pallas: bool = False
@@ -83,8 +93,9 @@ class AnalysisGNN(nn.Module):
         node_types, edge_types = self.metadata
         self.pitch_embedding = nn.Embed(PITCH_SPELLING_CLASSES, EMBED_DIM)
         self.key_embedding = nn.Embed(KEY_SIGNATURE_CLASSES, EMBED_DIM)
+        proj_cls = PlainProjection if self.plain_proj else ProjectionMLP
         self.project = {
-            t: ProjectionMLP(
+            t: proj_cls(
                 self.hidden_channels, self.hidden_channels, self.dropout,
                 name=f"project_{t}",
             )
@@ -116,7 +127,8 @@ class AnalysisGNN(nn.Module):
             name="encoder",
             **enc_kwargs,
         )
-        self.project_enc = EncoderProjection(
+        enc_proj_cls = PlainProjection if self.plain_proj else EncoderProjection
+        self.project_enc = enc_proj_cls(
             self.hidden_channels, self.out_channels, self.dropout, name="project_enc"
         )
         self.heads = TaskHeads(

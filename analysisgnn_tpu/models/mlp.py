@@ -14,6 +14,24 @@ import flax.linen as nn
 import jax
 
 
+class PlainProjection(nn.Module):
+    """Single-Dense projection — the measured-stable default at the
+    reference recipe (lr=5e-3, dropout=0.3).  The reference's deeper
+    projection stacks (:429-443, :474-485) remain available as
+    ``ProjectionMLP``/``EncoderProjection`` via ``--deep_proj``; on the
+    parity corpus they collapse most heads at the reference lr
+    (RESULTS.md recipe notes) while this projection tracks the torch
+    anchor's trajectory."""
+
+    hidden: int
+    out: int
+    dropout: float = 0.0  # accepted for interface parity; unused
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        return nn.Dense(self.hidden if self.out is None else self.out)(x)
+
+
 class ProjectionMLP(nn.Module):
     """Linear → ReLU → LayerNorm → Dropout → Linear (reference :429-443)."""
 

@@ -70,8 +70,13 @@ class TrainConfig:
     use_rnn: bool = False
     # ReLU→L2-norm after the FINAL conv (HybridGNN): bounds the encoder
     # output, which is what lets the multi-task recipe train stably at the
-    # reference lr=5e-3 (scripts/variant_sweep.py arm "fnorm").
-    final_norm: bool = False
+    # reference lr=5e-3 (scripts/variant_sweep.py arm "fnorm").  Default ON
+    # since round 3 so the out-of-the-box run trains cleanly at the
+    # reference recipe.
+    final_norm: bool = True
+    # Single-Dense projections (measured-stable default); False restores the
+    # reference's deep projection stacks (models/mlp.py)
+    plain_proj: bool = True
     # Pallas fused aggregation in the HybridGNN conv path; implies the
     # sampler must emit src-sorted edges (wired by the CLI).
     use_pallas: bool = False
@@ -134,6 +139,7 @@ class Trainer:
             encoder_type=config.model.lower(),
             use_edge_decoder=config.use_edge_loss,
             final_norm=config.final_norm,
+            plain_proj=config.plain_proj,
             use_pallas=config.use_pallas,
             hgt_group_mode=config.hgt_group_mode,
             remat=config.remat,

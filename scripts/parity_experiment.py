@@ -32,6 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DATA_DIR = os.path.join(ROOT, "data_synth")
 SPLIT_FILE = os.path.join(DATA_DIR, "test_split.json")
+OOD_DATA_DIR = os.path.join(ROOT, "data_synth_ood")
+OOD_SPLIT_FILE = os.path.join(OOD_DATA_DIR, "test_split.json")
 N_PIECES = 24
 N_PHRASES = 10
 EPOCHS = 40
@@ -47,6 +49,24 @@ def stage_gen() -> None:
     with open(SPLIT_FILE, "w") as f:
         json.dump(split["test"], f)
     print(json.dumps({"pieces": N_PIECES, "test": split["test"]}))
+
+
+def stage_gen_ood() -> None:
+    """Evaluation-only corpus from UNSEEN generator parameters (VERDICT r2
+    ask #7: de-self-grade): different progression grammar, 4x denser NCTs,
+    disjoint key emphasis, deceptive cadences, irregular rhythm — style
+    'ood' in data/synth_dlc.py.  Both frameworks train on data_synth/ and
+    are evaluated on this corpus; neither ever sees it during training or
+    during any recipe sweep."""
+    from analysisgnn_tpu.data.synth_dlc import write_corpus
+
+    split = write_corpus(
+        os.path.join(OOD_DATA_DIR, "all"), n_pieces=12, n_phrases=N_PHRASES,
+        seed=23, test_fraction=10 / 12, style="ood",
+    )
+    with open(OOD_SPLIT_FILE, "w") as f:
+        json.dump(split["test"], f)
+    print(json.dumps({"pieces": 12, "test": split["test"]}))
 
 
 def _cli_args(checkpoint_dir: str):
@@ -65,29 +85,14 @@ def _cli_args(checkpoint_dir: str):
     ]
 
 
-def stage_jax(extra: list = (), out_name: str = "results_jax.json",
-              ckpt_name: str = "checkpoints_parity") -> None:
-    """Train+eval on the chip.  ``extra`` appends/overrides CLI flags so
-    recipe arms can be launched as e.g.::
-
-        python scripts/parity_experiment.py jax results_jax_fnorm.json \
-            ckpt_fnorm --final_norm --dropout 0.0
-    """
+def _run_cli_capture_metrics(args: list):
+    """Run the train CLI; return the final top-level JSON object printed
+    to stdout (the --do_eval metric dict)."""
     import contextlib
     import io
 
-    # Task metrics are platform-independent; PARITY_PLATFORM=cpu lets the
-    # queued recipe arms run while the tunnel chip is down (the config
-    # update must happen before any device use — see docs/STATUS.md).
-    platform = os.environ.get("PARITY_PLATFORM")
-    if platform:
-        import jax
-
-        jax.config.update("jax_platforms", platform)
-
     from analysisgnn_tpu.cli.train import main
 
-    ckpt = os.path.join(ROOT, ckpt_name)
     buf = io.StringIO()
 
     class Tee(io.TextIOBase):
@@ -97,8 +102,7 @@ def stage_jax(extra: list = (), out_name: str = "results_jax.json",
             return len(s)
 
     with contextlib.redirect_stdout(Tee()):
-        main(_cli_args(ckpt) + list(extra))
-    # the --do_eval metric dict is the final top-level JSON object on stdout
+        main(args)
     text = buf.getvalue()
     metrics = None
     depth, end = 0, len(text)
@@ -112,9 +116,67 @@ def stage_jax(extra: list = (), out_name: str = "results_jax.json",
             if depth == 0:
                 metrics = json.loads(text[i:end])
                 break
+    return metrics
+
+
+def _apply_platform_override():
+    # Task metrics are platform-independent; PARITY_PLATFORM=cpu lets the
+    # queued recipe arms run while the tunnel chip is down (the config
+    # update must happen before any device use — see docs/STATUS.md).
+    platform = os.environ.get("PARITY_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    return platform
+
+
+def stage_jax(extra: list = (), out_name: str = "results_jax.json",
+              ckpt_name: str = "checkpoints_parity") -> None:
+    """Train+eval on the chip.  ``extra`` appends/overrides CLI flags so
+    recipe arms can be launched as e.g.::
+
+        python scripts/parity_experiment.py jax results_jax_fnorm.json \
+            ckpt_fnorm --final_norm --dropout 0.0
+    """
+    platform = _apply_platform_override()
+    ckpt = os.path.join(ROOT, ckpt_name)
+    metrics = _run_cli_capture_metrics(_cli_args(ckpt) + list(extra))
     out = {
         "framework": "analysisgnn_tpu",
         "epochs": EPOCHS,
+        "extra_flags": list(extra),
+        "platform": platform or "default",
+        "metrics": metrics,
+    }
+    with open(os.path.join(ROOT, out_name), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+def stage_jax_eval_ood(extra: list = (), out_name: str = "results_jax_ood.json",
+                       ckpt_name: str = "checkpoints_parity") -> None:
+    """Evaluate an already-trained checkpoint on the UNSEEN ood-style corpus
+    (stage_gen_ood).  ``extra`` must repeat the architecture flags the
+    checkpoint was trained with (not the training-only flags)."""
+    platform = _apply_platform_override()
+    ckpt = os.path.join(ROOT, ckpt_name)
+    args = [
+        "--raw_dir", OOD_DATA_DIR,
+        "--test_split_file", OOD_SPLIT_FILE,
+        "--do_eval",
+        "--model", "HybridGNN",
+        "--num_layers", "3", "--hidden_channels", "256",
+        "--out_channels", "128",
+        "--subgraph_size", "500", "--batch_size", "80",
+        "--main_tasks", "all",
+        "--checkpoint_dir", ckpt,
+    ] + list(extra)
+    metrics = _run_cli_capture_metrics(args)
+    out = {
+        "framework": "analysisgnn_tpu",
+        "eval_corpus": "ood",
+        "checkpoint": ckpt_name,
         "extra_flags": list(extra),
         "platform": platform or "default",
         "metrics": metrics,
@@ -129,18 +191,18 @@ def stage_jax(extra: list = (), out_name: str = "results_jax.json",
 # ---------------------------------------------------------------------------
 
 
-def _build_datamodule():
+def _build_datamodule(data_dir: str = DATA_DIR, split_file: str = SPLIT_FILE):
     from analysisgnn_tpu.data.corpus import CorpusConfig, DLCTsvCorpus
     from analysisgnn_tpu.data.datamodule import AnalysisDataModule, DataModuleConfig
 
-    with open(SPLIT_FILE) as f:
+    with open(split_file) as f:
         test_names = json.load(f)
     ccfg = CorpusConfig(
-        cache_dir=os.path.join(DATA_DIR, ".cache"), feature_type="voice",
+        cache_dir=os.path.join(data_dir, ".cache"), feature_type="voice",
         transpose=True,
     )
     corpus = DLCTsvCorpus(
-        ccfg, os.path.join(DATA_DIR, "all"), test_names=test_names, dlc=True
+        ccfg, os.path.join(data_dir, "all"), test_names=test_names, dlc=True
     ).load()
     dm_cfg = DataModuleConfig(
         subgraph_size=500, batch_size=8, augment=True, seed=0
@@ -246,9 +308,31 @@ def stage_torch() -> None:
             step_i += 1
         print(f"epoch {epoch}: loss {ep_loss / max(nb, 1):.4f}")
 
-    # --- evaluation with the SAME metric code as the JAX framework ---
+    # persist the trained anchor so held-out corpora can be scored later
+    # without retraining (stage torch-eval-ood)
+    torch.save(
+        {"model": model.state_dict(), "wloss": wloss_p.detach(),
+         "feature_dim": dm.feature_dim},
+        os.path.join(ROOT, "checkpoints_parity_torch.pt"),
+    )
+    metrics = _torch_eval(model, dm, tasks)
+    out = {
+        "framework": "torch-cpu reference-equivalent",
+        "epochs": EPOCHS,
+        "metrics": metrics,
+    }
+    with open(os.path.join(ROOT, "results_torch.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+def _torch_eval(model, dm, tasks) -> dict:
+    """Evaluation with the SAME metric code as the JAX framework."""
+    import torch
     import jax.numpy as jnp
 
+    from analysisgnn_tpu.core.graph import NOTE
+    from analysisgnn_tpu.train.step import TASK_MASK_ATTRS
     from analysisgnn_tpu.train.metrics import (
         NCT_RNA_KEYS,
         RNA_KEYS,
@@ -302,13 +386,34 @@ def stage_torch() -> None:
                 out["rna_nct_acc"] = a
                 out["rna_nct_acc__w"] = w
             accumulate_weighted(acc, out)
-    metrics = {f"all/{k}": v for k, v in finalize_weighted(acc).items()}
+    return {f"all/{k}": v for k, v in finalize_weighted(acc).items()}
+
+
+def stage_torch_eval_ood() -> None:
+    """Score the saved torch anchor on the unseen ood-style corpus."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+
+    from bench_torch_reference import RefModel
+    from analysisgnn_tpu.theory.vocab import TASK_DICT
+
+    tasks = tuple((t, c) for t, c in TASK_DICT.items())
+    ckpt = torch.load(
+        os.path.join(ROOT, "checkpoints_parity_torch.pt"), weights_only=False
+    )
+    dm = _build_datamodule(OOD_DATA_DIR, OOD_SPLIT_FILE)
+    model = RefModel(ckpt["feature_dim"], 256, 128, _RELATIONS, tasks)
+    model.load_state_dict(ckpt["model"])
+    model.eval()
+    metrics = _torch_eval(model, dm, tasks)
     out = {
         "framework": "torch-cpu reference-equivalent",
-        "epochs": EPOCHS,
+        "eval_corpus": "ood",
         "metrics": metrics,
     }
-    with open(os.path.join(ROOT, "results_torch.json"), "w") as f:
+    with open(os.path.join(ROOT, "results_torch_ood.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
@@ -316,5 +421,15 @@ def stage_torch() -> None:
 if __name__ == "__main__":
     if sys.argv[1] == "jax" and len(sys.argv) > 2:
         stage_jax(sys.argv[4:], out_name=sys.argv[2], ckpt_name=sys.argv[3])
+    elif sys.argv[1] == "jax-eval-ood" and len(sys.argv) > 2:
+        stage_jax_eval_ood(sys.argv[4:], out_name=sys.argv[2],
+                           ckpt_name=sys.argv[3])
     else:
-        {"gen": stage_gen, "jax": stage_jax, "torch": stage_torch}[sys.argv[1]]()
+        {
+            "gen": stage_gen,
+            "gen-ood": stage_gen_ood,
+            "jax": stage_jax,
+            "jax-eval-ood": stage_jax_eval_ood,
+            "torch": stage_torch,
+            "torch-eval-ood": stage_torch_eval_ood,
+        }[sys.argv[1]]()

@@ -98,3 +98,79 @@ def test_warmup_cosine_schedule_shape():
     # cosine decay to eta_min = 1% of base
     assert lrs[-1] < 2e-4 + 1e-4
     assert all(b <= a + 1e-9 for a, b in zip(lrs[10:], lrs[11:]))
+
+
+def test_anchor_optimizer_trajectory_matches(tmp_path):
+    """De-self-grading the parity anchor (VERDICT r2 ask #7): the torch
+    anchor's FULL update rule (AdamW defaults + decoupled weight decay +
+    global-norm clip 1.0 + warmup-cosine schedule, exactly as
+    scripts/parity_experiment.py::stage_torch applies it) must produce the
+    SAME parameter trajectory as this repo's optax pipeline
+    (train/state.py::make_optimizer) on a fixed batch from shared init —
+    checked elementwise at steps 0, 1 and 2."""
+    import optax
+
+    from analysisgnn_tpu.train.state import make_optimizer
+
+    rng = np.random.default_rng(3)
+    n, f, c = 48, 12, 5
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    y = rng.integers(0, c, size=n).astype(np.int64)
+    w0 = rng.normal(size=(f, c)).astype(np.float32) * 0.3
+    b0 = np.zeros(c, np.float32)
+    mask = np.ones(n, bool)
+    mask[::7] = False
+
+    sched = warmup_cosine_schedule(5e-3, total_steps=50, warmup_steps=5)
+
+    # --- torch side: the anchor's exact update sequence -------------------
+    lin = torch.nn.Linear(f, c)
+    with torch.no_grad():
+        lin.weight.copy_(torch.from_numpy(w0.T))
+        lin.bias.copy_(torch.from_numpy(b0))
+    optim = torch.optim.AdamW(lin.parameters(), lr=5e-3, weight_decay=5e-3)
+    t_losses = []
+    for step in range(3):
+        for g in optim.param_groups:
+            g["lr"] = float(sched(step))
+        optim.zero_grad()
+        logits = lin(torch.from_numpy(x))
+        lw = torch.from_numpy(mask.astype(np.float32))
+        ls = torch.nn.functional.cross_entropy(
+            logits, torch.from_numpy(y), label_smoothing=0.1, reduction="none"
+        )
+        loss = (ls * lw).sum() / lw.sum()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(lin.parameters(), 1.0)
+        optim.step()
+        t_losses.append(float(loss))
+
+    # --- jax side: this repo's optax pipeline ------------------------------
+    params = {"kernel": jnp.asarray(w0), "bias": jnp.asarray(b0)}
+    tx = make_optimizer(sched, weight_decay=5e-3, clip_norm=1.0, flatten=False)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        logits = jnp.asarray(x) @ p["kernel"] + p["bias"]
+        return masked_cross_entropy(
+            logits, jnp.asarray(y), jnp.asarray(mask), 0.1
+        )
+
+    j_losses = []
+    for step in range(3):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        j_losses.append(float(loss))
+
+    # identical losses at every step (same forward math on same params)...
+    np.testing.assert_allclose(j_losses, t_losses, rtol=1e-5)
+    # ...and identical post-update parameters (same optimizer semantics)
+    np.testing.assert_allclose(
+        np.asarray(params["kernel"]), lin.weight.detach().numpy().T,
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["bias"]), lin.bias.detach().numpy(),
+        rtol=1e-4, atol=1e-6,
+    )
