@@ -67,9 +67,12 @@ def conv_roofline(
     return Roofline(flops=float(flops), bytes=float(bytes_))
 
 
-# published peak numbers for common TPU generations (per chip)
+# published peak numbers for common TPU generations (per chip).
+# ici_bw_oneway: bytes/s per direction per torus axis link (the figure a
+# neighbor exchange such as distributed/partition_encoder.py::halo_pull
+# rides); a ring all-reduce uses the same links both directions.
 TPU_PEAKS = {
-    "v4": {"bf16_flops": 275e12, "hbm_bw": 1.2e12},
-    "v5e": {"bf16_flops": 197e12, "hbm_bw": 0.82e12},
-    "v5p": {"bf16_flops": 459e12, "hbm_bw": 2.77e12},
+    "v4": {"bf16_flops": 275e12, "hbm_bw": 1.2e12, "ici_bw_oneway": 4.5e10},
+    "v5e": {"bf16_flops": 197e12, "hbm_bw": 0.82e12, "ici_bw_oneway": 4.5e10},
+    "v5p": {"bf16_flops": 459e12, "hbm_bw": 2.77e12, "ici_bw_oneway": 9.0e10},
 }

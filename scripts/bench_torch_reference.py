@@ -52,12 +52,18 @@ class SageConv(torch.nn.Module):
 
 
 class RefModel(torch.nn.Module):
-    def __init__(self, in_f, hidden, out_f, relations, tasks, layers=3):
+    def __init__(self, in_f, hidden, out_f, relations, tasks, layers=3,
+                 dropout=0.0):
         super().__init__()
         self.relations = relations
         self.pitch_emb = torch.nn.Embedding(35, 64)
         self.key_emb = torch.nn.Embedding(15, 64)
         self.proj = torch.nn.Linear(in_f + 128, hidden)
+        # reference HGCN inter-layer placement: activation -> normalize ->
+        # dropout (core/hgnn.py:170-174).  Default 0.0 keeps the golden
+        # parity tests and the throughput baseline unchanged; the parity
+        # experiment's verbatim-recipe anchor passes the reference's 0.3.
+        self.dropout = torch.nn.Dropout(dropout)
         self.layers = torch.nn.ModuleList(
             [
                 torch.nn.ModuleDict({r: SageConv(hidden, hidden) for r in relations})
@@ -83,6 +89,7 @@ class RefModel(torch.nn.Module):
             outs = [conv(h, edges[r]) for r, conv in layer.items() if r in edges]
             h = torch.stack(outs).mean(0)
             h = torch.nn.functional.normalize(torch.relu(h), dim=-1)
+            h = self.dropout(h)
         onset = edges["onset"]
         pool = scatter_mean_with_out(h[onset[1]], onset[0], h.clone())
         z = self.project_enc(torch.cat([h, pool], -1))
