@@ -12,6 +12,12 @@ publishes no numbers of its own — BASELINE.md).  Falls back to a nominal
 1 GEdge/s speed-of-light anchor when the baseline file is absent.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``--sustained`` additionally times the ACTUAL training regime — fresh
+batches flowing through the production prefetch pipeline (sampler worker
+pool feeding device steps) instead of re-dispatching the same staged
+batches — and reports it on stderr (VERDICT r2 weak #4).  The staged
+number stays the headline for cross-round continuity.
 """
 
 from __future__ import annotations
@@ -196,6 +202,38 @@ def main() -> None:
 
     _phase(f"timed loop done dt={dt:.2f}s")
     edges_per_s = edges_per_batch * S / dt
+
+    if "--sustained" in sys.argv:
+        # the actual training regime: fresh sampler batches through the
+        # prefetch worker pool, stacked in K-packs, dispatched back-to-back
+        from analysisgnn_tpu.data.prefetch import prefetch_calls
+
+        S2 = 48
+        packs = prefetch_calls(
+            lambda: jax.device_put(
+                stack_batches([sampler.sample_batch() for _ in range(K)])
+            ),
+            steps=S2 // K + 1,
+            buffer_size=2,
+        )
+        state, auxes = train_step_multi(state, next(packs))  # warm pipeline
+        _ = float(auxes["total_loss"][-1])
+        t0 = time.perf_counter()
+        n_steps = 0
+        for pack in packs:
+            state, auxes = train_step_multi(state, pack)
+            n_steps += K
+            if n_steps >= S2:
+                break
+        _ = float(auxes["total_loss"][-1])
+        dt2 = time.perf_counter() - t0
+        sustained = edges_per_batch * n_steps / dt2
+        _phase(
+            f"sustained (fresh prefetch-fed batches): "
+            f"{sustained:,.0f} edges/s over {n_steps} steps "
+            f"({dt2 / n_steps * 1e3:.1f} ms/step) vs staged "
+            f"{edges_per_s:,.0f}"
+        )
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
     )

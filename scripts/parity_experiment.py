@@ -312,7 +312,16 @@ def stage_torch(dropout: float = 0.3) -> None:
                 p = wloss_p[ti]
                 total = total + 0.5 / p.pow(2) * l_t + torch.log1p(p.pow(2))
             total.backward()
-            torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+            # Lightning's gradient_clip_val=1.0 clips the OPTIMIZER's params
+            # jointly — the reference registers MultiTaskLoss.params on the
+            # module, so its wloss weights are inside the clip norm
+            # (models/chord.py:35, configure_optimizers analysis.py:1381).
+            # Clipping model-only (the round-2 anchor) hands the model a
+            # full-strength update every step regardless of how large the
+            # wloss grads are — a material deviation at high-loss phases.
+            torch.nn.utils.clip_grad_norm_(
+                list(model.parameters()) + [wloss_p], 1.0
+            )
             optim.step()
             ep_loss += float(total)
             nb += 1
