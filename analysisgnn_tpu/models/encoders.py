@@ -55,6 +55,11 @@ class HybridGNN(nn.Module):
     # "fnorm"): bounding the encoder output is what lets the full recipe
     # train at the reference hyperparameters.
     final_norm: bool = False
+    # Dropout AFTER the final conv as well (the torch-anchor RefModel runs
+    # activation→normalize→dropout on every layer incl. the last; the
+    # reference HGCN does not — diagnostic knob for
+    # scripts/dropout_bisect.py)
+    final_dropout: bool = False
     # Pallas fused mean-with-base aggregation (needs src-sorted edges)
     use_pallas: bool = False
     # Rematerialize each conv layer in the backward pass (jax.checkpoint):
@@ -96,7 +101,10 @@ class HybridGNN(nn.Module):
             self.hidden, self.edge_types, use_pallas=self.use_pallas, name="final"
         )(h, edge_index_dict)
         if self.final_norm:
-            return l2_normalize(nn.relu(out[NOTE]))
+            y = l2_normalize(nn.relu(out[NOTE]))
+            if self.final_dropout:
+                y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+            return y
         return out[NOTE]
 
 
