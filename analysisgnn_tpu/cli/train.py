@@ -38,7 +38,16 @@ def get_parser() -> argparse.ArgumentParser:
                    help="resume from checkpoint_dir/full before training")
     p.add_argument("--model", type=str, default="HybridGNN",
                    choices=["HybridGNN", "HGT", "MetricalGNN"])
-    p.add_argument("--use_jk", action="store_true")
+    # JumpingKnowledge defaults ON — the reference MODEL-class default
+    # (models/analysis.py:422 ``use_jk=True``; only its argparse flag is
+    # store_true).  Measured: at the verbatim reference recipe (lr=5e-3,
+    # dropout=0.3) the JK layer-attention skip paths are what keep the
+    # RNA heads converging (bench_queue/dropout_bisect.json: root_acc
+    # 0.75 with JK vs 0.38 without at 650 steps).
+    p.add_argument("--use_jk", action="store_true", default=True)
+    p.add_argument("--no_use_jk", dest="use_jk", action="store_false",
+                   help="disable JumpingKnowledge (the reference CLI-flag "
+                        "default)")
     p.add_argument("--scan_steps", type=int, default=1,
                    help="optimizer updates fused per device dispatch (lax.scan)")
     p.add_argument("--use_pallas", action="store_true",

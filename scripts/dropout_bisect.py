@@ -102,6 +102,10 @@ def run_jax_arm(arm: str, dm) -> dict:
         hidden_channels=256, out_channels=128, task_dict=tasks,
         num_layers=3, dropout=0.3, logit_fusion=False,
         encoder_type="hybridgnn",
+        # the decisive toggle: the model-class default (use_jk=True, same
+        # as the reference's AnalysisGNN ctor analysis.py:422) converges at
+        # the verbatim recipe; the round-2 CLI default (False) does not
+        use_jk=(arm != "no-jk"),
     )
     example = next(iter(dm.train_batches("all", 1)))
     a0 = example.node_attrs[NOTE]
@@ -135,6 +139,7 @@ def run_jax_arm(arm: str, dm) -> dict:
 
         params = jax.tree_util.tree_map_with_path(reinit, params)
 
+    active = tuple(t for t, _ in tasks if t in a0)
     opt = make_optimizer(warmup_cosine_schedule(5e-3, total_steps=total_steps))
     if arm == "split-clip":
         import optax
@@ -159,10 +164,7 @@ def run_jax_arm(arm: str, dm) -> dict:
             base,
         )
     state = create_train_state(params, len(tasks), opt, jax.random.PRNGKey(1))
-    cfg = StepConfig(
-        task_dict=tasks, active_tasks=tuple(t for t, _ in tasks),
-        mt_strategy="wloss",
-    )
+    cfg = StepConfig(task_dict=tasks, active_tasks=active, mt_strategy="wloss")
     train_step = make_train_step(model, opt, cfg)
     test_step = make_test_step(model, cfg)
     test_batches = list(dm.test_batches("all"))
@@ -179,6 +181,38 @@ def run_jax_arm(arm: str, dm) -> dict:
             curve.append(p)
             print(json.dumps({"arm": arm, **p}), flush=True)
     return {"arm": arm, "curve": curve}
+
+
+def run_cli_trainer(dm) -> dict:
+    """The ACTUAL production Trainer (train/loop.py) on the same dm —
+    reproduces (or exonerates) the CLI-path convergence gap."""
+    from analysisgnn_tpu.core.graph import metadata
+    from analysisgnn_tpu.models.analysis import AnalysisGNN
+    from analysisgnn_tpu.theory.vocab import TASK_DICT
+    from analysisgnn_tpu.train.loop import TrainConfig, Trainer
+
+    tasks = tuple(TASK_DICT.items())
+    model = AnalysisGNN(
+        metadata=metadata(False, False), in_channels=dm.feature_dim,
+        hidden_channels=256, out_channels=128, task_dict=tasks,
+        num_layers=3, dropout=0.3, logit_fusion=False,
+        encoder_type="hybridgnn",
+    )
+    cfg = TrainConfig(
+        num_epochs=EPOCHS, lr=5e-3, weight_decay=5e-3, main_tasks=["all"],
+        checkpoint_dir="/tmp/bisect_cli_ckpt", log_path=None, seed=0,
+    )
+    trainer = Trainer(model, dm, dict(tasks), cfg)
+    state = trainer.fit()
+    curve = [
+        {t: round(r.get(f"val/{t}_acc", -1.0), 4) for t in PROBE_TASKS}
+        | {"step": (r.get("epoch", 0) + 1) * dm.steps_per_epoch("all")}
+        for r in trainer.history
+        if any(f"val/{t}_acc" in r for t in PROBE_TASKS)
+    ]
+    for p in curve[-3:]:
+        print(json.dumps({"arm": "cli-trainer", **p}), flush=True)
+    return {"arm": "cli-trainer", "curve": curve}
 
 
 def run_torch_twin(dm) -> dict:
