@@ -114,8 +114,9 @@ def run_jax_arm(arm: str, dm) -> dict:
         a0["pitch_spelling"], a0["key_signature"], example.num_target_nodes,
     )
     params = model.init(jax.random.PRNGKey(0), *init_args)
-    if arm == "final-dropout":
-        encoders.ENCODERS["hybridgnn"] = orig_enc
+    # NOTE: the final-dropout ENCODERS patch must stay active for the whole
+    # arm — flax re-runs setup() on every apply, so restoring early would
+    # silently train without the final dropout.  Restored at arm end below.
 
     if arm == "torch-init":
         # torch nn.Linear default: U(-1/sqrt(fan_in), +1/sqrt(fan_in)) for
@@ -180,6 +181,8 @@ def run_jax_arm(arm: str, dm) -> dict:
             p["step"] = step_i
             curve.append(p)
             print(json.dumps({"arm": arm, **p}), flush=True)
+    if arm == "final-dropout":
+        encoders.ENCODERS["hybridgnn"] = orig_enc
     return {"arm": arm, "curve": curve}
 
 
