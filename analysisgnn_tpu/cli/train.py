@@ -101,6 +101,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conv layers in backward (memory lever "
                         "for full-graph training on very long scores)")
+    p.add_argument("--no_torch_init", dest="torch_init", action="store_false",
+                   default=True,
+                   help="keep flax default init instead of the torch-"
+                        "nn.Linear-style uniform draw (the reference's "
+                        "effective init; see train/state.py)")
     p.add_argument("--hgt_group_mode", type=str, default="pair",
                    choices=["pair", "emax"],
                    help="HGT relation-stack grouping (emax = union-space "
@@ -272,6 +277,7 @@ def main(argv=None) -> None:
         use_pallas=config.get("use_pallas", False),
         hgt_group_mode=config.get("hgt_group_mode", "pair"),
         remat=config.get("remat", False),
+        torch_init=config.get("torch_init", True),
         logit_fusion=config.get("logit_fusion", False),
         use_rnn=config.get("use_rnn", False),
         mt_strategy=config.get("mt_strategy", "wloss"),

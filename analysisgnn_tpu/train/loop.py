@@ -85,6 +85,10 @@ class TrainConfig:
     # per-layer rematerialization (HybridGNN): memory lever for very long
     # full-graph training (models/encoders.py::HybridGNN.remat)
     remat: bool = False
+    # torch-nn.Linear-style uniform init for Dense kernels/biases — the
+    # reference's effective init; measurably faster convergence at the
+    # reference recipe (train/state.py::torch_style_reinit)
+    torch_init: bool = True
     mt_strategy: str = "wloss"
     lambda_dctn: float = 0.5
     lambda_featl: float = 0.1
@@ -165,6 +169,10 @@ class Trainer:
         params = self.model.init(
             jax.random.PRNGKey(self.cfg.seed), *args, method=self.model.full_init
         )
+        if self.cfg.torch_init:
+            from analysisgnn_tpu.train.state import torch_style_reinit
+
+            params = torch_style_reinit(params, seed=self.cfg.seed)
         total_steps = sum(self._epochs_per_task()) * max(
             self.dm.steps_per_epoch(self.dm.main_tasks[0]), 1
         )

@@ -64,6 +64,39 @@ def create_train_state(
     )
 
 
+def torch_style_reinit(params: Any, seed: int = 0) -> Any:
+    """Redraw Dense kernels/biases from torch ``nn.Linear``'s default
+    distribution: U(-1/sqrt(fan_in), +1/sqrt(fan_in)) for kernels, and a
+    uniform of the same form for biases (flax defaults: lecun_normal
+    kernels, ZERO biases).
+
+    The reference trains with torch defaults, and the init scale measurably
+    matters at its recipe: at lr=5e-3 / dropout=0.3 the torch-style draw
+    reaches root_acc 0.773 vs 0.747 for the flax default over the same 650
+    steps (bench_queue/dropout_bisect.json arm "torch-init").  Touches
+    ``kernel``/``bias`` leaves only — the fused-conv einsum weights keep
+    their measured-good flax init."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+
+    def reinit(path, leaf):
+        name = "/".join(str(p) for p in path)
+        if leaf.ndim >= 2 and "kernel" in name:
+            bound = 1.0 / np.sqrt(leaf.shape[-2])
+            return jnp.asarray(
+                rng.uniform(-bound, bound, leaf.shape).astype(np.float32)
+            )
+        if leaf.ndim == 1 and "bias" in name:
+            bound = 1.0 / np.sqrt(max(leaf.shape[-1], 1))
+            return jnp.asarray(
+                rng.uniform(-bound, bound, leaf.shape).astype(np.float32)
+            )
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(reinit, params)
+
+
 def make_optimizer(
     lr_schedule, weight_decay: float = 5e-3, clip_norm: float = 1.0,
     flatten: bool = True,
