@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 from typing import Dict, List
 
 from analysisgnn_tpu.theory.vocab import TASK_DICT
@@ -156,6 +157,7 @@ def resolve_config(argv=None) -> Dict:
         config["add_measures"] = True
     if config.get("has_memories"):
         config["use_ewc"] = True
+    file_cfg = {}
     if args.config_path:
         with open(args.config_path) as f:
             file_cfg = json.load(f)
@@ -164,6 +166,19 @@ def resolve_config(argv=None) -> Dict:
             if k not in merged:
                 merged[k] = v
         config = merged
+    argv_tokens = sys.argv[1:] if argv is None else list(argv)
+    if (
+        "use_jk" not in file_cfg
+        and "--use_jk" not in argv_tokens
+        and "--no_use_jk" not in argv_tokens
+    ):
+        # default changed to ON in round 3 (MIGRATION.md); old recipes that
+        # omitted the flag now train a larger model — say so once (ADVICE r3)
+        print(
+            "[config] use_jk defaulting to True (changed from the reference "
+            "CLI-flag default in round 3; pass --no_use_jk for the old "
+            "architecture — see MIGRATION.md)"
+        )
     return config
 
 

@@ -100,12 +100,14 @@ class HybridGNN(nn.Module):
         out = HeteroConv(
             self.hidden, self.edge_types, use_pallas=self.use_pallas, name="final"
         )(h, edge_index_dict)
+        y = out[NOTE]
         if self.final_norm:
-            y = l2_normalize(nn.relu(out[NOTE]))
-            if self.final_dropout:
-                y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-            return y
-        return out[NOTE]
+            y = l2_normalize(nn.relu(y))
+        if self.final_dropout:
+            # applies on BOTH paths: the knob is independent of final_norm
+            # (ADVICE r3 — previously silently ignored with final_norm=False)
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return y
 
 
 def stack_edge_groups(

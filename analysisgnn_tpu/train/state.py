@@ -73,28 +73,45 @@ def torch_style_reinit(params: Any, seed: int = 0) -> Any:
     The reference trains with torch defaults, and the init scale measurably
     matters at its recipe: at lr=5e-3 / dropout=0.3 the torch-style draw
     reaches root_acc 0.773 vs 0.747 for the flax default over the same 650
-    steps (bench_queue/dropout_bisect.json arm "torch-init").  Touches
-    ``kernel``/``bias`` leaves only — the fused-conv einsum weights keep
-    their measured-good flax init."""
+    steps (bench_queue/dropout_bisect.json arm "torch-init").
+
+    Scope — exactly what torch ``nn.Linear`` covers and nothing more:
+    only modules holding a *plain Dense* kernel (ndim==2) are redrawn;
+    both kernel and its sibling bias use fan_in = kernel.shape[0]
+    (torch's in_features).  DenseGeneral/attention kernels (ndim>=3),
+    LayerNorm scales/biases, embeddings, and the fused-conv einsum
+    weights all keep their flax defaults — matching torch, which zeros
+    norm biases and uses per-module init elsewhere."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
 
-    def reinit(path, leaf):
-        name = "/".join(str(p) for p in path)
-        if leaf.ndim >= 2 and "kernel" in name:
-            bound = 1.0 / np.sqrt(leaf.shape[-2])
-            return jnp.asarray(
-                rng.uniform(-bound, bound, leaf.shape).astype(np.float32)
-            )
-        if leaf.ndim == 1 and "bias" in name:
-            bound = 1.0 / np.sqrt(max(leaf.shape[-1], 1))
-            return jnp.asarray(
-                rng.uniform(-bound, bound, leaf.shape).astype(np.float32)
-            )
-        return leaf
+    def draw(bound, shape):
+        return jnp.asarray(rng.uniform(-bound, bound, shape).astype(np.float32))
 
-    return jax.tree_util.tree_map_with_path(reinit, params)
+    from collections.abc import Mapping
+
+    def walk(node):
+        if not isinstance(node, Mapping):
+            return node
+        kernel = node.get("kernel")
+        is_dense = getattr(kernel, "ndim", 0) == 2
+        fan_in = kernel.shape[0] if is_dense else None
+        out = {}
+        for key in sorted(node):  # sorted: rng draw order independent of
+            leaf = node[key]  # dict insertion order
+            if isinstance(leaf, Mapping):
+                out[key] = walk(leaf)
+            elif is_dense and key == "kernel":
+                out[key] = draw(1.0 / np.sqrt(fan_in), leaf.shape)
+            elif is_dense and key == "bias" and leaf.ndim == 1:
+                out[key] = draw(1.0 / np.sqrt(fan_in), leaf.shape)
+            else:
+                out[key] = leaf
+        return out
+
+    result = walk(params)
+    return result if type(params) is dict else type(params)(result)
 
 
 def make_optimizer(

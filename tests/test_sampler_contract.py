@@ -13,12 +13,12 @@ below is a pure-python re-implementation of its documented contract:
   * no node budgets; per-hop new-node counts are recorded
     (``num_sampled_nodes_dict``).
 
-This repo's ``SubgraphSampler`` differs in two documented ways (sampler.py):
-it draws WITH replacement then dedups (slightly fewer unique picks when
-degree > k), and it enforces static per-batch node budgets.  The test
-quantifies the resulting per-hop distribution delta and asserts it stays
-small, so the train-time receptive-field difference is a measured number
-rather than an assumption.
+Since round 3 this repo's ``SubgraphSampler`` implements the same
+uniform-WITHOUT-replacement per-node draws (sampler.py:251-275); the one
+remaining documented difference is the static per-batch node budget (nodes
+beyond the padded capacity are dropped).  The test quantifies the resulting
+per-hop distribution delta and asserts it stays small, so the train-time
+receptive-field difference is a measured number rather than an assumption.
 """
 
 import numpy as np

@@ -40,6 +40,49 @@ def test_reinit_bounds_and_scope():
     )
 
 
+def test_reinit_scope_norm_and_attention():
+    """ADVICE r3: LayerNorm biases stay zero (torch zeros them); DenseGeneral
+    attention kernels (ndim>=3) keep flax defaults; Dense bias bound derives
+    from the sibling kernel's fan_in, not the bias's own length."""
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.Dense(35)(x)  # non-square: fan_in=256 != out=35
+            h = nn.LayerNorm()(jnp.pad(h, ((0, 0), (0, 221))))
+            a = nn.MultiHeadDotProductAttention(num_heads=4)(
+                h[None], h[None]
+            )
+            return h.sum() + a.sum()
+
+    m = M()
+    params = m.init(jax.random.PRNGKey(0), jnp.ones((4, 256)))
+    out = torch_style_reinit(params, seed=3)
+
+    # Dense bias: bound = 1/sqrt(in_features)=1/16, NOT 1/sqrt(35)
+    b = np.asarray(out["params"]["Dense_0"]["bias"])
+    assert np.abs(b).max() <= 1.0 / np.sqrt(256) + 1e-6
+    assert np.abs(b).max() > 0
+    # LayerNorm bias untouched (zero), scale untouched (one)
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["LayerNorm_0"]["bias"]), 0.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["LayerNorm_0"]["scale"]), 1.0
+    )
+    # attention DenseGeneral kernels (in, heads, head_dim) untouched
+    for sub in ("query", "key", "value"):
+        np.testing.assert_array_equal(
+            np.asarray(
+                out["params"]["MultiHeadDotProductAttention_0"][sub]["kernel"]
+            ),
+            np.asarray(
+                params["params"]["MultiHeadDotProductAttention_0"][sub]["kernel"]
+            ),
+        )
+
+
 def test_reinit_deterministic():
     import flax.linen as nn
 
