@@ -135,6 +135,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="JSON file with a list of held-out piece names "
                         "(overrides the canonical DLC test split)")
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
+    p.add_argument("--test_eval_every", type=int, default=0,
+                   help="run a full test-split eval every N epochs and "
+                        "append to <checkpoint_dir>/test_curve.jsonl "
+                        "(win-count-vs-steps crossover evidence)")
     return p
 
 
@@ -317,6 +321,7 @@ def main(argv=None) -> None:
         resume=config.get("load_from_checkpoint", False),
         scan_steps=config.get("scan_steps", 1),
         num_workers=config.get("num_workers", 0),
+        test_eval_every=config.get("test_eval_every", 0),
     )
     trainer = Trainer(tc, dm)
     # persist the model-construction config next to checkpoints for predict

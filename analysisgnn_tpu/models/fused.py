@@ -5,16 +5,39 @@ Motivation: the per-edge-type conv dispatch (models/hetero.py) launches
 ~5 kernels × T relations per layer; on TPU (and especially through a proxied
 runtime with per-kernel overhead) the same math is an order of magnitude
 cheaper expressed as batched einsums over a stacked [T, ...] relation axis
-with ONE flattened segment reduction:
+with ONE flattened segment reduction.
 
-    H[t]      = x @ W_neigh[t]                  (einsum, MXU)
-    msgs      = H.reshape(T·N, F)[t·N + dst_e]  (one gather)
-    sums      = segment_sum(msgs, t·N + src_e)  (one scatter → [T·N, F])
-    agg[t]    = (x + sums[t]) / count[t]        (mean-with-base semantics)
-    out[t]    = [x ‖ agg[t]] @ W_out[t]         (einsum, MXU)
-    result    = mean_t out[t]
+Round-4 HBM-traffic restructure (VERDICT r3 ask #2 — the round-3 roofline
+measured the XLA path bandwidth-bound at 38% of HBM peak, with per-relation
+feature copies the top byte movers).  The neighbor transform is LINEAR, so
+the per-relation transform commutes with the segment sum:
 
-Numerically identical to T independent SageConvs (tests/test_fused.py).
+    Σ_e (x[dst_e] @ W[t] + b[t])  ==  (Σ_e x[dst_e]) @ W[t] + count·b[t]
+
+which turns the old layout
+
+    H[t]      = x @ W_neigh[t]                  [T,N,F] materialized
+    msgs      = H.reshape(T·N, F)[t·N + dst_e]  gather from a T·N-row array
+    sums      = segment_sum(msgs, t·N + src_e)
+
+into
+
+    x_e       = x[dst_e]                        ONE gather from [N, F]
+    raw[t]    = segment_sum(x_e, t·N + src_e)   (count rides as a channel)
+    sums[t]   = raw[t] @ W_neigh[t] + count·b   post-aggregation einsum
+
+— the [T,N,F] intermediate is never written, the gather working set shrinks
+T×, and the transform runs on N aggregated rows instead of E edge rows.
+With ``reduce="sum"`` the output stage also collapses: instead of
+materializing [T,N,G] and mean-reducing in the caller,
+
+    Σ_t out[t] = x @ Σ_t W_self[t] + Σ_t agg[t] @ W_agg[t] + Σ_t b_out[t]
+
+where the middle term is ONE dot_general contracting (t, f) — an
+[N, T·F] × [T·F, G] MXU matmul with an [N, G] output.
+
+Numerically equivalent to T independent SageConvs up to float reassociation
+(tests/test_fused.py).
 """
 
 from __future__ import annotations
@@ -42,6 +65,9 @@ class FusedHeteroSage(nn.Module):
     out_features: int
     num_relations: int
     use_pallas: bool = False
+    # None → return per-relation [T, N, G] (caller reduces); "sum" → return
+    # the relation-summed [N, G] without ever materializing [T, N, G]
+    reduce: str | None = None
 
     @nn.compact
     def __call__(
@@ -61,18 +87,20 @@ class FusedHeteroSage(nn.Module):
         w_agg = self.param("w_agg", init, (t, f, g))
         b_out = self.param("b_out", nn.initializers.zeros, (t, 1, g))
 
-        h = jnp.einsum("nf,tfg->tng", x, w_neigh) + b_neigh  # [T, N, F]
-        flat = h.reshape(t * n, f)
         src = jnp.minimum(edge_src, n)  # padding → n (dropped below)
         dst = jnp.minimum(edge_dst, n - 1)
-        gather_idx = edge_rel * n + dst
-        msgs = flat[jnp.minimum(gather_idx, t * n - 1)]
         if self.use_pallas:
             from analysisgnn_tpu.kernels.pallas_segment import (
                 TILE_N,
                 segment_mean_base_sorted,
             )
 
+            # the Pallas kernel consumes per-edge TRANSFORMED messages, so
+            # this branch keeps the pre-aggregation layout
+            h = jnp.einsum("nf,tfg->tng", x, w_neigh) + b_neigh  # [T, N, F]
+            flat = h.reshape(t * n, f)
+            gather_idx = edge_rel * n + dst
+            msgs = flat[jnp.minimum(gather_idx, t * n - 1)]
             # per-relation segment stride m > n keeps padding edges (src=n)
             # on a dummy row that the [:, :n] slice removes, while keeping
             # the concatenated segment ids globally sorted
@@ -87,13 +115,34 @@ class FusedHeteroSage(nn.Module):
                 jax.default_backend() == "cpu",  # interpret off-TPU
             ).reshape(t, m, f)[:, :n]
         else:
+            # linearity restructure (module docstring): aggregate RAW
+            # neighbor features once, transform the [T, N, F] sums after.
+            # The edge count rides as one extra channel of the same scatter.
+            x_e = x[dst]  # [E, F] — the only gather, from [N, F]
             seg = jnp.where(src >= n, t * n, edge_rel * n + src)
-            sums = segment_sum(msgs, seg, t * n).reshape(t, n, f)
-            counts = segment_sum(
-                jnp.ones_like(seg, jnp.float32), seg, t * n
-            ).reshape(t, n)
+            packed = jnp.concatenate(
+                [x_e, jnp.ones((x_e.shape[0], 1), x_e.dtype)], axis=-1
+            )
+            summed = segment_sum(
+                packed.astype(jnp.float32), seg, t * n
+            )  # [T·N, F+1]
+            raw = summed[:, :f].reshape(t, n, f)
+            counts = summed[:, f].reshape(t, n)
+            sums = (
+                jnp.einsum("tnf,tfg->tng", raw, w_neigh)
+                + counts[..., None] * b_neigh
+            )
             # torch_scatter mean-with-out semantics: (x + Σ msgs) / max(count, 1)
             agg = (x[None] + sums) / jnp.maximum(counts, 1.0)[..., None]
+        if self.reduce == "sum":
+            # Σ_t out[t] without the [T, N, G] intermediate: the self term
+            # collapses into one [F, G] matmul, the agg term into one
+            # dot_general contracting (t, f)
+            return (
+                x @ w_self.sum(0)
+                + jnp.einsum("tnf,tfg->ng", agg, w_agg)
+                + b_out.sum(0)
+            )
         out = (
             jnp.einsum("nf,tfg->tng", x, w_self)
             + jnp.einsum("tnf,tfg->tng", agg, w_agg)

@@ -56,6 +56,10 @@ class HeteroConv(nn.Module):
         x_dict: Dict[str, jax.Array],
         edge_index_dict: Dict[EdgeType, jax.Array],
     ) -> Dict[str, jax.Array]:
+        # contributions hold (sum_over_member_relations, member_count) pairs:
+        # the fused path returns its T relations pre-summed as ONE [N, G]
+        # array (models/fused.py reduce="sum"), so the per-type reduction is
+        # a weighted combine instead of a stack over T materialized outputs
         contributions: Dict[str, list] = {t: [] for t in x_dict}
         present = [
             et
@@ -108,9 +112,10 @@ class HeteroConv(nn.Module):
                     self.out_features,
                     len(rels),
                     use_pallas=self.use_pallas,
+                    reduce="sum",
                     name=f"fused_{t}",
                 )(x_dict[t], src, dst, rid)
-                contributions[t].extend(jnp.unstack(out, axis=0))
+                contributions[t].append((out, len(rels)))
                 handled.update(rels)
         for et in present:
             if et in handled:
@@ -119,12 +124,16 @@ class HeteroConv(nn.Module):
             name = f"conv_{src_t}__{rel}__{dst_t}"
             conv = self.conv_cls(self.out_features, name=name)
             out = conv(x_dict[src_t], edge_index_dict[et], x_dict[dst_t])
-            contributions[src_t].append(out)
-        reduce = jnp.sum if self.aggr == "sum" else jnp.mean
+            contributions[src_t].append((out, 1))
         result: Dict[str, jax.Array] = {}
         for t, outs in contributions.items():
             if outs:
-                result[t] = reduce(jnp.stack(outs, axis=0), axis=0)
+                total = outs[0][0]
+                for arr, _w in outs[1:]:
+                    total = total + arr
+                if self.aggr != "sum":
+                    total = total / sum(w for _arr, w in outs)
+                result[t] = total
             else:
                 result[t] = nn.Dense(self.out_features, name=f"self_{t}")(x_dict[t])
         return result

@@ -121,6 +121,10 @@ class TrainConfig:
     # device upload release the GIL, so the host keeps up with a ~30 ms
     # device step.  <=1 keeps the single deterministic prefetch stream.
     num_workers: int = 0
+    # every N global epochs, run the full TEST-split evaluation and append
+    # one JSON line to <checkpoint_dir>/test_curve.jsonl — the win-count-vs-
+    # steps crossover evidence (VERDICT r3 ask #1).  0 disables.
+    test_eval_every: int = 0
 
 
 class Trainer:
@@ -326,6 +330,7 @@ class Trainer:
         swa_begin = int(cfg.swa_start_frac * total_epochs)
         swa_params, swa_n = None, 0
         global_epoch = 0
+        total_steps_done = 0
         for ti, main_task in enumerate(main_tasks):
             if cfg.cl_training:
                 active = tuple(
@@ -435,6 +440,21 @@ class Trainer:
                         )
                     swa_n += 1
                 global_epoch += 1
+                total_steps_done += steps
+                if cfg.test_eval_every and (
+                    global_epoch % cfg.test_eval_every == 0
+                    or global_epoch == total_epochs
+                ):
+                    test_metrics = self.evaluate(state, split="test")
+                    curve_path = os.path.join(
+                        cfg.checkpoint_dir, "test_curve.jsonl"
+                    )
+                    with open(curve_path, "a") as cf:
+                        cf.write(json.dumps({
+                            "global_epoch": global_epoch,
+                            "steps": total_steps_done,
+                            **{k: float(v) for k, v in test_metrics.items()},
+                        }) + "\n")
 
             # ---- task switch (reference on_validation_epoch_end) ----------
             self.save_checkpoint(state, f"{main_task}_model")

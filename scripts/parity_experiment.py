@@ -30,15 +30,25 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-DATA_DIR = os.path.join(ROOT, "data_synth")
+# Round-4 large-corpus study (VERDICT r3 asks #1/#6): every knob below can
+# be overridden from the environment so the SAME harness drives the 24-piece
+# round-3 protocol and the 5x corpus / 5x step-budget crossover runs.
+DATA_DIR = os.environ.get("PARITY_DATA_DIR", os.path.join(ROOT, "data_synth"))
 SPLIT_FILE = os.path.join(DATA_DIR, "test_split.json")
-OOD_DATA_DIR = os.path.join(ROOT, "data_synth_ood")
+OOD_DATA_DIR = os.environ.get(
+    "PARITY_OOD_DATA_DIR", os.path.join(ROOT, "data_synth_ood")
+)
 OOD_SPLIT_FILE = os.path.join(OOD_DATA_DIR, "test_split.json")
-N_PIECES = 24
+N_PIECES = int(os.environ.get("PARITY_PIECES", "24"))
 N_PHRASES = 10
 # the reference's own default epoch budget
 # (/root/reference/analysisgnn/train/train_analysisgnn.py:56)
-EPOCHS = 50
+EPOCHS = int(os.environ.get("PARITY_EPOCHS", "50"))
+# periodic test-split eval cadence (epochs) for the crossover curve; 0 = off
+EVAL_EVERY = int(os.environ.get("PARITY_EVAL_EVERY", "0"))
+SEED = int(os.environ.get("PARITY_SEED", "0"))
+# artifact-name suffix for side-study arms (e.g. "_l" for the 5x corpus)
+TAG = os.environ.get("PARITY_TAG", "")
 
 
 def stage_gen() -> None:
@@ -84,7 +94,10 @@ def _cli_args(checkpoint_dir: str):
         "--main_tasks", "all",
         "--use_transpositions",
         "--checkpoint_dir", checkpoint_dir,
-    ]
+        "--seed", str(SEED),
+    ] + (
+        ["--test_eval_every", str(EVAL_EVERY)] if EVAL_EVERY else []
+    )
 
 
 def _run_cli_capture_metrics(args: list):
@@ -207,7 +220,7 @@ def _build_datamodule(data_dir: str = DATA_DIR, split_file: str = SPLIT_FILE):
         ccfg, os.path.join(data_dir, "all"), test_names=test_names, dlc=True
     ).load()
     dm_cfg = DataModuleConfig(
-        subgraph_size=500, batch_size=8, augment=True, seed=0
+        subgraph_size=500, batch_size=8, augment=True, seed=SEED
     )
     return AnalysisDataModule({"all": corpus.samples}, dm_cfg).setup()
 
@@ -269,6 +282,7 @@ def stage_torch(dropout: float = 0.3) -> None:
     from analysisgnn_tpu.train.schedules import warmup_cosine_schedule
     from analysisgnn_tpu.train.step import TASK_MASK_ATTRS
 
+    torch.manual_seed(SEED)
     tasks = tuple((t, c) for t, c in TASK_DICT.items())
     dm = _build_datamodule()
     steps_per_epoch = dm.steps_per_epoch("all")
@@ -291,6 +305,7 @@ def stage_torch(dropout: float = 0.3) -> None:
         return (ls * lw).sum() / lw.sum().clamp(min=1.0)
 
     step_i = 0
+    curve = []
     for epoch in range(EPOCHS):
         ep_loss, nb = 0.0, 0
         for batch in dm.train_batches("all", steps_per_epoch):
@@ -326,14 +341,29 @@ def stage_torch(dropout: float = 0.3) -> None:
             ep_loss += float(total)
             nb += 1
             step_i += 1
-        print(f"epoch {epoch}: loss {ep_loss / max(nb, 1):.4f}")
+        print(f"epoch {epoch}: loss {ep_loss / max(nb, 1):.4f}", flush=True)
+        if EVAL_EVERY and (
+            (epoch + 1) % EVAL_EVERY == 0 or epoch + 1 == EPOCHS
+        ):
+            # mirror of the jax side's test_curve.jsonl (train/loop.py):
+            # same test split, same metric code, recorded at the same
+            # global-epoch boundaries — the two curves are the crossover plot
+            m = _torch_eval(model, dm, tasks)
+            model.train()
+            curve.append({
+                "global_epoch": epoch + 1,
+                "steps": step_i,
+                **{k: float(v) for k, v in m.items()},
+            })
+            with open(os.path.join(ROOT, f"results_torch_curve{TAG}.jsonl"), "a") as cf:
+                cf.write(json.dumps(curve[-1]) + "\n")
 
     # persist the trained anchor so held-out corpora can be scored later
     # without retraining (stage torch-eval-ood)
     torch.save(
         {"model": model.state_dict(), "wloss": wloss_p.detach(),
          "feature_dim": dm.feature_dim},
-        os.path.join(ROOT, "checkpoints_parity_torch.pt"),
+        os.path.join(ROOT, f"checkpoints_parity_torch{TAG}.pt"),
     )
     metrics = _torch_eval(model, dm, tasks)
     out = {
@@ -342,7 +372,7 @@ def stage_torch(dropout: float = 0.3) -> None:
         "dropout": dropout,
         "metrics": metrics,
     }
-    with open(os.path.join(ROOT, "results_torch.json"), "w") as f:
+    with open(os.path.join(ROOT, f"results_torch{TAG}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
@@ -422,7 +452,7 @@ def stage_torch_eval_ood() -> None:
 
     tasks = tuple((t, c) for t, c in TASK_DICT.items())
     ckpt = torch.load(
-        os.path.join(ROOT, "checkpoints_parity_torch.pt"), weights_only=False
+        os.path.join(ROOT, f"checkpoints_parity_torch{TAG}.pt"), weights_only=False
     )
     dm = _build_datamodule(OOD_DATA_DIR, OOD_SPLIT_FILE)
     model = RefModel(ckpt["feature_dim"], 256, 128, _RELATIONS, tasks)
@@ -434,7 +464,7 @@ def stage_torch_eval_ood() -> None:
         "eval_corpus": "ood",
         "metrics": metrics,
     }
-    with open(os.path.join(ROOT, "results_torch_ood.json"), "w") as f:
+    with open(os.path.join(ROOT, f"results_torch_ood{TAG}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
