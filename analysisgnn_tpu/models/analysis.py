@@ -88,6 +88,8 @@ class AnalysisGNN(nn.Module):
     hgt_group_mode: str = "pair"
     # per-layer rematerialization (HybridGNN memory lever, encoders.py)
     remat: bool = False
+    # fused-SAGE implementation ("node" | "edge"), models/fused.py
+    conv_impl: str = "node"
 
     def setup(self):
         node_types, edge_types = self.metadata
@@ -110,6 +112,8 @@ class AnalysisGNN(nn.Module):
                 enc_kwargs["use_pallas"] = True
             if self.remat:
                 enc_kwargs["remat"] = True
+            if self.conv_impl != "node":
+                enc_kwargs["conv_impl"] = self.conv_impl
         if self.encoder_type.lower() == "hgt":
             if self.hgt_group_mode != "pair":
                 enc_kwargs["group_mode"] = self.hgt_group_mode

@@ -68,6 +68,8 @@ class HybridGNN(nn.Module):
     # scores (a 100k-note score materializes ~1M-edge message tensors per
     # layer; remat keeps only the [N, H] layer inputs alive).
     remat: bool = False
+    # fused-SAGE implementation ("node" | "edge") — see models/fused.py
+    conv_impl: str = "node"
 
     @nn.compact
     def __call__(
@@ -85,6 +87,7 @@ class HybridGNN(nn.Module):
                 self.hidden,
                 self.edge_types,
                 use_pallas=self.use_pallas,
+                conv_impl=self.conv_impl,
                 name=f"layer_{i}",
             )(h, edge_index_dict)
             h = {t: nn.relu(v) for t, v in h.items()}
@@ -98,7 +101,8 @@ class HybridGNN(nn.Module):
             jk = LayerAttentionJK(self.hidden, name="jk")(note_states)
             h = {**h, NOTE: jk}
         out = HeteroConv(
-            self.hidden, self.edge_types, use_pallas=self.use_pallas, name="final"
+            self.hidden, self.edge_types, use_pallas=self.use_pallas,
+            conv_impl=self.conv_impl, name="final"
         )(h, edge_index_dict)
         y = out[NOTE]
         if self.final_norm:

@@ -68,6 +68,11 @@ class FusedHeteroSage(nn.Module):
     # None → return per-relation [T, N, G] (caller reduces); "sum" → return
     # the relation-summed [N, G] without ever materializing [T, N, G]
     reduce: str | None = None
+    # "node": transform the [T, N, F] raw segment sums (docstring layout 1);
+    # "edge": push W_neigh·W_agg onto the edges so the big scatter shrinks
+    #         from [T·N, F] to [N, G] (docstring layout 2; requires
+    #         reduce="sum" and the stacked [T, E_max] edge layout)
+    impl: str = "node"
 
     @nn.compact
     def __call__(
@@ -76,6 +81,8 @@ class FusedHeteroSage(nn.Module):
         edge_src: jax.Array,  # [E_total] int32, with per-edge relation ids
         edge_dst: jax.Array,  # [E_total]
         edge_rel: jax.Array,  # [E_total] int32 in [0, T)
+        stacked_src: jax.Array | None = None,  # [T, E_max] (impl="edge")
+        stacked_dst: jax.Array | None = None,  # [T, E_max] (impl="edge")
     ) -> jax.Array:
         n, f = x.shape
         t = self.num_relations
@@ -87,6 +94,12 @@ class FusedHeteroSage(nn.Module):
         w_agg = self.param("w_agg", init, (t, f, g))
         b_out = self.param("b_out", nn.initializers.zeros, (t, 1, g))
 
+        if self.impl == "edge":
+            assert self.reduce == "sum" and stacked_src is not None
+            return self._edge_impl(
+                x, stacked_src, stacked_dst,
+                w_neigh, b_neigh, w_self, w_agg, b_out,
+            )
         src = jnp.minimum(edge_src, n)  # padding → n (dropped below)
         dst = jnp.minimum(edge_dst, n - 1)
         if self.use_pallas:
@@ -150,6 +163,73 @@ class FusedHeteroSage(nn.Module):
         )
         return out  # [T, N, G]; caller reduces across relations
 
+    def _edge_impl(
+        self,
+        x: jax.Array,  # [N, F]
+        src: jax.Array,  # [T, E_max] int32, padding = n
+        dst: jax.Array,  # [T, E_max] int32, padding clamped below
+        w_neigh: jax.Array,
+        b_neigh: jax.Array,
+        w_self: jax.Array,
+        w_agg: jax.Array,
+        b_out: jax.Array,
+    ) -> jax.Array:
+        """Layout 2 (module docstring): associate the per-relation transforms
+        onto the EDGES so the only large scatter is [N, G].
+
+          Σ_t agg[t] @ W_agg[t]
+            = Σ_e α[rel_e, src_e] · x[dst_e] @ (W_neigh W_agg)[rel_e]   (msg)
+            + Σ_t (x / c̃[t]) @ W_agg[t]                                (base)
+            + Σ_t 1[c_t>0] · (b_neigh[t] @ W_agg[t])                    (bias)
+
+        with α = 1/c̃, c̃ = max(count, 1).  The [T·N, F] raw-sum scatter of the
+        node impl is replaced by a [T, N] count scatter (scalars) and an
+        [N, G] message scatter; the per-edge transform uses the precomputed
+        [T, F, G] product weights — at sampled-subgraph sparsity E < T·N this
+        is also strictly fewer transform FLOPs.  Exact up to reassociation
+        (tests/test_fused.py::test_edge_impl_matches_node_impl).
+        """
+        n, f = x.shape
+        t, e_max = src.shape
+        g = self.out_features
+
+        # [T, N] edge counts: one scalar scatter (padding src = n drops)
+        seg_tn = jnp.where(
+            src >= n,
+            t * n,
+            jnp.arange(t, dtype=src.dtype)[:, None] * n + src,
+        ).reshape(-1)
+        counts = segment_sum(
+            jnp.ones((t * e_max,), jnp.float32), seg_tn, t * n
+        ).reshape(t, n)
+        inv_c = 1.0 / jnp.maximum(counts, 1.0)  # α  [T, N]
+        has_edge = jnp.minimum(counts, 1.0)  # c/c̃ ∈ {0, 1}
+
+        # message term: per-edge transform with the product weights
+        w_na = jnp.einsum("tfh,thg->tfg", w_neigh, w_agg)  # tiny
+        dst_c = jnp.minimum(dst, n - 1)
+        x_e = x[dst_c]  # [T, E_max, F] — ONE gather from [N, F]
+        alpha_e = jnp.where(
+            src >= n, 0.0, inv_c.reshape(-1)[jnp.minimum(seg_tn, t * n - 1)]
+            .reshape(t, e_max),
+        )
+        y_e = jnp.einsum("tef,tfg->teg", x_e, w_na) * alpha_e[..., None]
+        z_msg = segment_sum(
+            y_e.reshape(t * e_max, g),
+            jnp.where(src >= n, n, src).reshape(-1),
+            n,
+        )  # [N, G]
+
+        # base term (the x inside every relation's mean) — one einsum; XLA
+        # picks the contraction order (candidate for a tiled Pallas kernel)
+        z_x = jnp.einsum("tn,nf,tfg->ng", inv_c, x, w_agg)
+
+        # bias-inside-mean term: c·b/c̃ = b wherever the node has any edge
+        bw = jnp.einsum("tf,tfg->tg", b_neigh[:, 0, :], w_agg)  # [T, G]
+        z_b = jnp.einsum("tn,tg->ng", has_edge, bw)
+
+        return x @ w_self.sum(0) + z_msg + z_x + z_b + b_out.sum(0)
+
 
 def unify_node_types(
     x_dict: Dict[str, jax.Array],
@@ -191,6 +271,23 @@ def unify_node_types(
         jnp.concatenate(rels),
         slices,
     )
+
+
+def stack_relations_padded(
+    edge_index_dict: Dict[Tuple[str, str, str], jax.Array],
+    relations: Sequence[Tuple[str, str, str]],
+    n_nodes: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """[T, E_max] src/dst stacks for the edge impl (stacking pad src = n_nodes
+    so it joins the relations' own one-past-the-end padding convention)."""
+    e_max = max(edge_index_dict[et].shape[1] for et in relations)
+    srcs, dsts = [], []
+    for et in relations:
+        ei = edge_index_dict[et]
+        pad = e_max - ei.shape[1]
+        srcs.append(jnp.pad(ei[0], (0, pad), constant_values=n_nodes))
+        dsts.append(jnp.pad(ei[1], (0, pad), constant_values=n_nodes))
+    return jnp.stack(srcs), jnp.stack(dsts)
 
 
 def stack_relations(

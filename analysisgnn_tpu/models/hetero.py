@@ -49,6 +49,9 @@ class HeteroConv(nn.Module):
     # Route the fused-SAGE aggregation through the Pallas kernel (requires
     # src-sorted edges per relation — SamplerConfig.sort_edges_by_src).
     use_pallas: bool = False
+    # fused-SAGE implementation: "node" (transform post-scatter) or "edge"
+    # (product weights on edges; [N, G] scatter) — see models/fused.py
+    conv_impl: str = "node"
 
     @nn.compact
     def __call__(
@@ -108,13 +111,23 @@ class HeteroConv(nn.Module):
                 if len(rels) < 2:
                     continue  # no fusion benefit
                 src, dst, rid = stack_relations(edge_index_dict, rels)
+                sta_src = sta_dst = None
+                if self.conv_impl == "edge" and not self.use_pallas:
+                    from analysisgnn_tpu.models.fused import (
+                        stack_relations_padded,
+                    )
+
+                    sta_src, sta_dst = stack_relations_padded(
+                        edge_index_dict, rels, x_dict[t].shape[0]
+                    )
                 out = FusedHeteroSage(
                     self.out_features,
                     len(rels),
                     use_pallas=self.use_pallas,
                     reduce="sum",
+                    impl=("edge" if sta_src is not None else "node"),
                     name=f"fused_{t}",
-                )(x_dict[t], src, dst, rid)
+                )(x_dict[t], src, dst, rid, sta_src, sta_dst)
                 contributions[t].append((out, len(rels)))
                 handled.update(rels)
         for et in present:

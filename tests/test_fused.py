@@ -120,3 +120,47 @@ def test_sampler_sort_edges_by_src():
         real = s[s < cap]
         pad = s[s >= cap]
         assert (pad == cap).all()
+
+
+def test_edge_impl_matches_node_impl():
+    """impl="edge" (product-weight edge transform, [N,G] scatter) must match
+    impl="node" with reduce="sum" on the SAME params — including padding
+    edges, isolated nodes (count 0), and the bias-inside-mean term."""
+    rng = np.random.default_rng(7)
+    n, f, g, t = 24, 16, 12, 3
+    x = jnp.asarray(rng.normal(size=(n, f)), jnp.float32)
+    sizes = [17, 11, 20]  # ragged per-relation edge counts
+    edge_dict = {}
+    rels = []
+    for i, sz in enumerate(sizes):
+        et = ("note", f"r{i}", "note")
+        e = rng.integers(0, n, size=(2, sz)).astype(np.int32)
+        e = np.concatenate([e, np.full((2, 2), n, np.int32)], axis=1)  # pad
+        edge_dict[et] = jnp.asarray(e)
+        rels.append(et)
+    from analysisgnn_tpu.models.fused import stack_relations_padded
+
+    src, dst, rel = stack_relations(edge_dict, rels)
+    s_src, s_dst = stack_relations_padded(edge_dict, rels, n)
+
+    node_mod = FusedHeteroSage(g, t, reduce="sum", impl="node")
+    params = node_mod.init(jax.random.PRNGKey(0), x, src, dst, rel)
+    want = node_mod.apply(params, x, src, dst, rel)
+
+    edge_mod = FusedHeteroSage(g, t, reduce="sum", impl="edge")
+    got = edge_mod.apply(params, x, src, dst, rel, s_src, s_dst)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+    # gradients agree too (both are plain jnp — autodiff throughout)
+    def loss(p, mod, *args):
+        return jnp.sum(mod.apply(p, *args) ** 2)
+
+    g_node = jax.grad(loss)(params, node_mod, x, src, dst, rel)
+    g_edge = jax.grad(loss)(params, edge_mod, x, src, dst, rel, s_src, s_dst)
+    for k in g_node["params"]:
+        np.testing.assert_allclose(
+            np.asarray(g_edge["params"][k]), np.asarray(g_node["params"][k]),
+            rtol=5e-4, atol=5e-5, err_msg=k,
+        )
