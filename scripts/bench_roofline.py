@@ -71,6 +71,18 @@ ARMS = {
                    pallas=False, remat=False),
     "xl-bf16": dict(sub=4000, bs=16, notes=16000, k=1, dtype="bfloat16",
                     pallas=False, remat=False),
+    "xl-f32-remat": dict(sub=4000, bs=16, notes=16000, k=1, dtype="float32",
+                         pallas=False, remat=True),
+    # round-4 HBM-restructure A/B: conv_impl=edge (models/fused.py layout 2)
+    "small-f32-edge": dict(sub=500, bs=8, notes=2000, k=6, dtype="float32",
+                           pallas=False, remat=False, conv_impl="edge"),
+    "large-f32-edge": dict(sub=2000, bs=32, notes=8000, k=2, dtype="float32",
+                           pallas=False, remat=False, conv_impl="edge"),
+    "large-bf16-edge": dict(sub=2000, bs=32, notes=8000, k=2,
+                            dtype="bfloat16", pallas=False, remat=False,
+                            conv_impl="edge"),
+    "xl-bf16-edge": dict(sub=4000, bs=16, notes=16000, k=1, dtype="bfloat16",
+                         pallas=False, remat=False, conv_impl="edge"),
 }
 
 DEFAULT_ARMS = [
@@ -164,6 +176,7 @@ def run_arm(name: str, spec: dict, samples_cache: dict) -> dict:
         out_channels=128, task_dict=tasks, num_layers=3, dropout=0.3,
         logit_fusion=False, encoder_type="hybridgnn",
         use_pallas=spec["pallas"], remat=spec["remat"],
+        conv_impl=spec.get("conv_impl", "node"),
     )
     attrs = batch.node_attrs[NOTE]
     args = (
@@ -217,6 +230,7 @@ def run_arm(name: str, spec: dict, samples_cache: dict) -> dict:
     rec = {
         "arm": name,
         **{k: spec[k] for k in ("sub", "bs", "k", "dtype", "pallas", "remat")},
+        "conv_impl": spec.get("conv_impl", "node"),
         "nodes_per_batch": nodes_per_batch,
         "valid_edges_per_batch": round(edges_per_batch),
         "ms_per_step": round(ms_per_step, 2),
