@@ -73,6 +73,10 @@ class FusedHeteroSage(nn.Module):
     #         from [T·N, F] to [N, G] (docstring layout 2; requires
     #         reduce="sum" and the stacked [T, E_max] edge layout)
     impl: str = "node"
+    # edge impl only: compute the base term with the tiled Pallas kernel
+    # (kernels/pallas_relmm.py) instead of the einsum, killing its [T, N, ·]
+    # HBM intermediate
+    zx_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -220,9 +224,19 @@ class FusedHeteroSage(nn.Module):
             n,
         )  # [N, G]
 
-        # base term (the x inside every relation's mean) — one einsum; XLA
-        # picks the contraction order (candidate for a tiled Pallas kernel)
-        z_x = jnp.einsum("tn,nf,tfg->ng", inv_c, x, w_agg)
+        # base term (the x inside every relation's mean): einsum (XLA picks
+        # the contraction order — one [T, N, ·] HBM intermediate) or the
+        # tiled Pallas kernel (intermediate-free)
+        if self.zx_pallas:
+            from analysisgnn_tpu.kernels.pallas_relmm import (
+                relation_weighted_matmul,
+            )
+
+            z_x = relation_weighted_matmul(
+                x, w_agg, inv_c, jax.default_backend() == "cpu"
+            )
+        else:
+            z_x = jnp.einsum("tn,nf,tfg->ng", inv_c, x, w_agg)
 
         # bias-inside-mean term: c·b/c̃ = b wherever the node has any edge
         bw = jnp.einsum("tf,tfg->tg", b_neigh[:, 0, :], w_agg)  # [T, G]

@@ -49,8 +49,9 @@ class HeteroConv(nn.Module):
     # Route the fused-SAGE aggregation through the Pallas kernel (requires
     # src-sorted edges per relation — SamplerConfig.sort_edges_by_src).
     use_pallas: bool = False
-    # fused-SAGE implementation: "node" (transform post-scatter) or "edge"
-    # (product weights on edges; [N, G] scatter) — see models/fused.py
+    # fused-SAGE implementation: "node" (transform post-scatter), "edge"
+    # (product weights on edges; [N, G] scatter), or "edge-zxp" (edge with
+    # the Pallas base-term kernel) — see models/fused.py
     conv_impl: str = "node"
 
     @nn.compact
@@ -112,7 +113,7 @@ class HeteroConv(nn.Module):
                     continue  # no fusion benefit
                 src, dst, rid = stack_relations(edge_index_dict, rels)
                 sta_src = sta_dst = None
-                if self.conv_impl == "edge" and not self.use_pallas:
+                if self.conv_impl.startswith("edge") and not self.use_pallas:
                     from analysisgnn_tpu.models.fused import (
                         stack_relations_padded,
                     )
@@ -126,6 +127,7 @@ class HeteroConv(nn.Module):
                     use_pallas=self.use_pallas,
                     reduce="sum",
                     impl=("edge" if sta_src is not None else "node"),
+                    zx_pallas=(self.conv_impl == "edge-zxp"),
                     name=f"fused_{t}",
                 )(x_dict[t], src, dst, rid, sta_src, sta_dst)
                 contributions[t].append((out, len(rels)))

@@ -83,6 +83,12 @@ ARMS = {
                             conv_impl="edge"),
     "xl-bf16-edge": dict(sub=4000, bs=16, notes=16000, k=1, dtype="bfloat16",
                          pallas=False, remat=False, conv_impl="edge"),
+    "large-f32-edgezxp": dict(sub=2000, bs=32, notes=8000, k=2,
+                              dtype="float32", pallas=False, remat=False,
+                              conv_impl="edge-zxp"),
+    "large-bf16-edgezxp": dict(sub=2000, bs=32, notes=8000, k=2,
+                               dtype="bfloat16", pallas=False, remat=False,
+                               conv_impl="edge-zxp"),
 }
 
 DEFAULT_ARMS = [
