@@ -243,6 +243,30 @@ def stack_edge_groups_emax(
     return tuple(out)
 
 
+def _blockdiag_edge_transform(
+    rows: jax.Array,  # [R, E, H·D] flat gathered rows
+    w: jax.Array,  # [R, H, D, D] per-relation per-head transforms
+    heads: int,
+    h_dim: int,
+) -> jax.Array:  # [R, E, H, D]
+    """Per-edge typed transform as ONE r-batched flat matmul.
+
+    Equivalent to ``einsum('rehd,rhdf->rehf', rows4d, w)`` but with the
+    per-head [D, D] transforms embedded in a block-diagonal [H·D, H·D]
+    weight, so neither operand carries a head batch axis.  The head-batched
+    form forces head-major layouts on the gathered operand and XLA inserts
+    per-head slice copies (the round-3 trace's 94.8% "data-formatting"
+    bucket); this form costs H× the MXU FLOPs — free at 2.7% utilization —
+    and zero layout traffic.  Measured 61.9 → 46.1 ms/step on the 3-layer
+    HGT micro-bench (bench_queue/hgt_variants.json; loss bit-identical).
+    """
+    r, e, hd = rows.shape
+    eye = jnp.eye(heads, dtype=w.dtype)
+    wbd = jnp.einsum("gh,rhdf->rgdhf", eye, w).reshape(r, hd, hd)
+    out = jnp.einsum("ref,rfg->reg", rows, wbd)
+    return out.reshape(r, e, heads, h_dim)
+
+
 class HGTLayer(nn.Module):
     """Heterogeneous Graph Transformer layer, relation-batched.
 
@@ -272,7 +296,16 @@ class HGTLayer(nn.Module):
       unnormalized ``exp`` weights ride as extra channels of one packed
       ``segment_sum`` and the division happens at node level
       (``Σ m·e / Σ e`` ≡ ``Σ m·(e/Σe)``), saving one full scatter pass and
-      two per-edge denominator gathers.
+      two per-edge denominator gathers;
+    - applies the per-relation K/V transforms as BLOCK-DIAGONAL
+      ``[R, H·D, H·D]`` matmuls on flat ``[·, H·D]`` rows instead of
+      head-batched ``[R,E,H,D]×[R,H,D,D]`` einsums.  The head-batched form
+      makes XLA lay the gathered operands out head-major and insert 16
+      per-head async slice copies per step — 94.8% of HGT device time was
+      such data formatting (bench_queue/hgt_trace.json).  The block-diagonal
+      form costs H× more MXU FLOPs (free at 2.7% MXU) and zero layout
+      traffic: 61.9 → 46.1 ms/step on the 3-layer micro-bench
+      (bench_queue/hgt_variants.json, value-identical loss).
     """
 
     hidden: int
@@ -328,6 +361,8 @@ class HGTLayer(nn.Module):
             v_u = jnp.concatenate([v[t] for t in node_types] + [
                 jnp.zeros((1, self.heads, h_dim), q[node_types[0]].dtype)
             ])
+            k_flat = k_u.reshape(-1, self.hidden)
+            v_flat = v_u.reshape(-1, self.hidden)
             for gi, (idx, rels) in enumerate(stacked_groups):
                 n_rel, _, e_max = idx.shape
                 tag = f"g{gi}"
@@ -350,11 +385,14 @@ class HGTLayer(nn.Module):
                 )
                 segs = idx[:, 0, :]  # [R, E] union aggregator (pad = n_union)
                 dst_ids = idx[:, 1, :]  # [R, E] union info source (pad = 0)
-                k_e = k_u[dst_ids]
                 q_e = q_u[jnp.minimum(segs, n_union)]
-                k_t = jnp.einsum("rehd,rhdf->rehf", k_e, w_att)
+                k_t = _blockdiag_edge_transform(
+                    k_flat[dst_ids], w_att, self.heads, h_dim
+                )
                 logits = (q_e * k_t).sum(-1) * prior[:, None, :] / jnp.sqrt(h_dim)
-                msg = jnp.einsum("rehd,rhdf->rehf", v_u[dst_ids], w_msg)
+                msg = _blockdiag_edge_transform(
+                    v_flat[dst_ids], w_msg, self.heads, h_dim
+                )
                 union_logits.append(logits.reshape(n_rel * e_max, self.heads))
                 union_msgs.append(msg.reshape(n_rel * e_max, self.heads, h_dim))
                 union_segs.append(segs.reshape(-1))
@@ -379,11 +417,16 @@ class HGTLayer(nn.Module):
             n_dst = x_dict[dst_t].shape[0]
             src_ids = idx[:, 0, :]  # [R, E] aggregator
             dst_ids = jnp.minimum(idx[:, 1, :], n_dst - 1)  # [R, E] info source
-            k_e = k[dst_t][dst_ids]  # [R, E, H, D]
             q_e = q[src_t][jnp.minimum(src_ids, n_src - 1)]
-            k_t = jnp.einsum("rehd,rhdf->rehf", k_e, w_att)
+            k_t = _blockdiag_edge_transform(
+                k[dst_t].reshape(-1, self.hidden)[dst_ids],
+                w_att, self.heads, h_dim,
+            )
             logits = (q_e * k_t).sum(-1) * prior[:, None, :] / jnp.sqrt(h_dim)
-            msg = jnp.einsum("rehd,rhdf->rehf", v[dst_t][dst_ids], w_msg)
+            msg = _blockdiag_edge_transform(
+                v[dst_t].reshape(-1, self.hidden)[dst_ids],
+                w_msg, self.heads, h_dim,
+            )
             # padded edges (src == n_src) map to the union out-of-range id
             segs = jnp.where(src_ids >= n_src, n_union, src_ids + offsets[src_t])
             union_logits.append(logits.reshape(n_rel * e_max, self.heads))

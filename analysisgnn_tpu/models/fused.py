@@ -134,17 +134,19 @@ class FusedHeteroSage(nn.Module):
         else:
             # linearity restructure (module docstring): aggregate RAW
             # neighbor features once, transform the [T, N, F] sums after.
-            # The edge count rides as one extra channel of the same scatter.
+            # Counts go through their OWN scatter: packing them as an extra
+            # channel makes the operand [E, F+1] (misaligned to the 128-lane
+            # tile) and, because the packed operand then differs per layer,
+            # defeats XLA's cross-layer CSE of the layer-invariant counts
+            # (measured: MetricalGNN 37.6 vs 26.2 ms/step packed vs split).
             x_e = x[dst]  # [E, F] — the only gather, from [N, F]
             seg = jnp.where(src >= n, t * n, edge_rel * n + src)
-            packed = jnp.concatenate(
-                [x_e, jnp.ones((x_e.shape[0], 1), x_e.dtype)], axis=-1
-            )
-            summed = segment_sum(
-                packed.astype(jnp.float32), seg, t * n
-            )  # [T·N, F+1]
-            raw = summed[:, :f].reshape(t, n, f)
-            counts = summed[:, f].reshape(t, n)
+            raw = segment_sum(
+                x_e.astype(jnp.float32), seg, t * n
+            ).reshape(t, n, f)
+            counts = segment_sum(
+                jnp.ones_like(seg, jnp.float32), seg, t * n
+            ).reshape(t, n)
             sums = (
                 jnp.einsum("tnf,tfg->tng", raw, w_neigh)
                 + counts[..., None] * b_neigh
