@@ -78,6 +78,13 @@ def bench_encoder(encoder_type: str, tasks, batches, steps: int = 24) -> dict:
     # "HGT-emax-pallas" additionally fuses the softmax/aggregation kernel
     enc, _, variant = encoder_type.lower().partition("-")
     use_pallas = variant.endswith("pallas")
+    # round-4 fused-SAGE HBM-restructure arms (models/fused.py):
+    # "HybridGNN-edge" / "HybridGNN-edgezxp" select conv_impl instead of an
+    # HGT group mode
+    conv_impl = "node"
+    if variant in ("edge", "edgezxp"):
+        conv_impl = {"edge": "edge", "edgezxp": "edge-zxp"}[variant]
+        variant = ""
     group_mode = variant.split("-")[0] or "pair"
     model = AnalysisGNN(
         metadata=(nodes, edges_meta),
@@ -90,6 +97,7 @@ def bench_encoder(encoder_type: str, tasks, batches, steps: int = 24) -> dict:
         encoder_type=enc,
         hgt_group_mode=group_mode,
         use_pallas=use_pallas,
+        conv_impl=conv_impl,
     )
     batch = batches[0]
     attrs = batch.node_attrs[NOTE]

@@ -180,7 +180,10 @@ def main() -> None:
             "projection_note": "each real chip runs its shard at full-chip "
                                "speed (t_shard0_all_cores) and the exchange "
                                "rides ICI at ~1.6 us/step "
-                               "(scaling_table.json ici_projection)",
+                               "(scaling_table.json ici_projection); >1.0 "
+                               "reflects CPU cache effects (a half-size "
+                               "shard fits caches better), not real "
+                               "super-linearity",
         },
     }
     out_path = os.path.join(ROOT, "bench_queue", "partition_residual.json")

@@ -142,12 +142,19 @@ def main() -> None:
 
     nodes, edges_meta = metadata(True, True)
     enc, _, variant = encoder.lower().partition("-")
+    # "<enc>-edge" / "<enc>-edgezxp" select the fused-SAGE conv_impl
+    # (models/fused.py), same arm grammar as scripts/bench_encoders.py
+    conv_impl = "node"
+    if variant in ("edge", "edgezxp"):
+        conv_impl = {"edge": "edge", "edgezxp": "edge-zxp"}[variant]
+        variant = ""
     model = AnalysisGNN(
         metadata=(nodes, edges_meta), in_channels=25, hidden_channels=256,
         out_channels=128, task_dict=tasks, num_layers=3, dropout=0.3,
         encoder_type=enc,
         hgt_group_mode=(variant.split("-")[0] or "pair"),
         use_pallas=variant.endswith("pallas"),
+        conv_impl=conv_impl,
     )
     batch = batches[0]
     attrs = batch.node_attrs[NOTE]
