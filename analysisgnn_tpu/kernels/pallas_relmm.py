@@ -108,13 +108,17 @@ def _rwm_bwd(interpret, res, g_out):
     x, w, alpha = res
     n, f = x.shape
     t, _, g_dim = w.shape
+    # backward math runs f32 throughout (mixed-dtype dots are the only
+    # alternative under bf16 staging; accumulation is f32 regardless)
+    xf, wf, af = (a.astype(jnp.float32) for a in (x, w, alpha))
+    gf = g_out.astype(jnp.float32)
     # dx = Σ_t α_t ⊙ (g @ w[t]^T)  — the same kernel with w transposed
-    dx = _fwd_impl(g_out, jnp.swapaxes(w, 1, 2), alpha, interpret)
+    dx = _fwd_impl(gf, jnp.swapaxes(wf, 1, 2), af, interpret)
     # dw[t] = (α_t ⊙ x)^T @ g ;  dα[t, n] = <x[n] @ w[t], g[n]>
     n_pad = pl.cdiv(n, TILE_N) * TILE_N
-    xp = _pad_n(x, n_pad)
-    gp = _pad_n(g_out, n_pad)
-    ap = jnp.pad(alpha, ((0, 0), (0, n_pad - n)))
+    xp = _pad_n(xf, n_pad)
+    gp = _pad_n(gf, n_pad)
+    ap = jnp.pad(af, ((0, 0), (0, n_pad - n)))
     dw, da = pl.pallas_call(
         functools.partial(_dwa_kernel, t),
         grid=(n_pad // TILE_N,),
@@ -139,8 +143,11 @@ def _rwm_bwd(interpret, res, g_out):
             jax.ShapeDtypeStruct((t, n_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, gp, w, ap)
-    return dx, dw, da[:, :n]
+    )(xp, gp, wf, ap)
+    # custom_vjp cotangent dtypes must match the primals (bf16 staging
+    # passes bf16 x/w/alpha; the kernels accumulate f32 regardless)
+    return (dx.astype(x.dtype), dw.astype(w.dtype),
+            da[:, :n].astype(alpha.dtype))
 
 
 relation_weighted_matmul.defvjp(_rwm_fwd, _rwm_bwd)

@@ -304,6 +304,14 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — record OOM/compile failures
             rec = {"arm": name, **ARMS[name], "error": str(e)[:400]}
         rec["wall_s"] = round(time.perf_counter() - t0, 1)
+        # never clobber an existing SUCCESSFUL record with an error (a
+        # tunnel-worker crash poisons the whole process: every later arm
+        # fails instantly; run arms one-per-process to avoid the cascade)
+        if "error" in rec and "ms_per_step" in recs.get(rec["arm"], {}):
+            print(json.dumps(rec), flush=True)
+            print(f"[roofline] keeping prior successful {rec['arm']} record",
+                  file=sys.stderr, flush=True)
+            continue
         recs[rec["arm"]] = rec
         print(json.dumps(rec), flush=True)
         with open(out_path, "w") as f:
