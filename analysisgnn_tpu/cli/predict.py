@@ -110,6 +110,12 @@ def get_parser() -> argparse.ArgumentParser:
                    help="checkpoint tag inside checkpoint_dir (best/last/<task>_model)")
     p.add_argument("--artifacts_dir", type=str, default="./artifacts/models",
                    help="cache dir for downloaded checkpoints")
+    p.add_argument("--conv_impl", type=str, default=None,
+                   choices=["node", "edge", "edge-zxp"],
+                   help="override the fused-SAGE implementation for this "
+                        "inference run (parameter-compatible; 'edge' moves "
+                        "fewer HBM bytes at full-graph scale — "
+                        "docs/STATUS.md roofline)")
     p.add_argument("--tasks", type=str, default=None, help="comma list; default all")
     p.add_argument("--output_csv", type=str, default=None)
     p.add_argument("--output_musicxml", type=str, default=None,
@@ -120,7 +126,8 @@ def get_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_model_and_params(checkpoint_dir: str, tag: str):
+def load_model_and_params(checkpoint_dir: str, tag: str,
+                          conv_impl: str | None = None):
     import jax
     import orbax.checkpoint as ocp
 
@@ -148,6 +155,9 @@ def load_model_and_params(checkpoint_dir: str, tag: str):
         use_rnn=cfg.get("use_rnn", False),
         hgt_group_mode=cfg.get("hgt_group_mode", "pair"),
         encoder_type=cfg.get("model", "HybridGNN").lower(),
+        # computation-order knob only — the param tree is identical across
+        # impls (tests/test_fused.py), so any checkpoint can run either
+        conv_impl=conv_impl or cfg.get("conv_impl", "node"),
     )
     # build an abstract params tree to restore into
     import numpy as np
@@ -192,7 +202,9 @@ def main(argv=None) -> None:
     ckpt_dir = resolve_checkpoint(
         args.checkpoint_dir, args.checkpoint, args.artifacts_dir
     )
-    model, params, cfg = load_model_and_params(ckpt_dir, args.checkpoint)
+    model, params, cfg = load_model_and_params(
+        ckpt_dir, args.checkpoint, conv_impl=args.conv_impl
+    )
     tasks = args.tasks.split(",") if args.tasks else None
 
     if args.score_dir:

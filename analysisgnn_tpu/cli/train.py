@@ -111,6 +111,16 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["pair", "emax"],
                    help="HGT relation-stack grouping (emax = union-space "
                         "capacity bins, fewer dispatches per layer)")
+    p.add_argument("--hgt_stage_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="HGT q/k/v + edge-transform staging dtype; bf16 "
+                        "halves the gather traffic (softmax/accumulation "
+                        "stay f32, models/encoders.py HGTLayer)")
+    p.add_argument("--conv_impl", type=str, default="node",
+                   choices=["node", "edge", "edge-zxp"],
+                   help="fused-SAGE implementation (models/fused.py): node "
+                        "wins at sampled-subgraph training shapes, edge at "
+                        "bandwidth-bound full-graph scale (docs/STATUS.md)")
     p.add_argument("--use_rnn", action="store_true",
                    help="onset-sequence BiGRU after the encoder "
                         "(reference models/analysis.py:512-537)")
@@ -295,6 +305,8 @@ def main(argv=None) -> None:
         plain_proj=config.get("plain_proj", True),
         use_pallas=config.get("use_pallas", False),
         hgt_group_mode=config.get("hgt_group_mode", "pair"),
+        hgt_stage_dtype=config.get("hgt_stage_dtype", "float32"),
+        conv_impl=config.get("conv_impl", "node"),
         remat=config.get("remat", False),
         torch_init=config.get("torch_init", True),
         logit_fusion=config.get("logit_fusion", False),
@@ -350,6 +362,8 @@ def main(argv=None) -> None:
                 ),
                 "add_beats": tc.add_beats,
                 "add_measures": tc.add_measures,
+                "conv_impl": tc.conv_impl,
+                "hgt_stage_dtype": tc.hgt_stage_dtype,
                 "in_channels": dm.feature_dim,
                 "feature_type": config.get("feature_type", "simple"),
             },

@@ -90,6 +90,9 @@ class AnalysisGNN(nn.Module):
     remat: bool = False
     # fused-SAGE implementation ("node" | "edge"), models/fused.py
     conv_impl: str = "node"
+    # HGT q/k/v + edge-transform staging dtype (encoders.py HGTLayer;
+    # softmax/segment accumulation stays f32)
+    hgt_stage_dtype: str = "float32"
 
     def setup(self):
         node_types, edge_types = self.metadata
@@ -117,6 +120,8 @@ class AnalysisGNN(nn.Module):
         if self.encoder_type.lower() == "hgt":
             if self.hgt_group_mode != "pair":
                 enc_kwargs["group_mode"] = self.hgt_group_mode
+            if self.hgt_stage_dtype != "float32":
+                enc_kwargs["stage_dtype"] = self.hgt_stage_dtype
             if self.use_pallas:
                 # the fused softmax/aggregation kernel needs the union
                 # capacity-binned layout (+ sampler-sorted edges)

@@ -317,6 +317,12 @@ class HGTLayer(nn.Module):
     # group_mode="emax" AND sampler-sorted edges (SamplerConfig.
     # sort_edges_by_src), the same contract as the conv path's kernel.
     use_pallas: bool = False
+    # "bfloat16" stages q/k/v + the edge transforms in bf16 (params and the
+    # softmax/segment accumulation stay f32) — halves the gather/transform
+    # HBM traffic that dominates HGT (bench_queue/hgt_trace.json).  The
+    # 3-layer micro-bench reads 45.8 -> 41.7 ms/step with loss rel-err 2e-6
+    # (bench_queue/hgt_variants.json v2-blockdiag vs v2-bf16).
+    stage_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -336,8 +342,11 @@ class HGTLayer(nn.Module):
         q: Dict[str, jax.Array] = {}
         k: Dict[str, jax.Array] = {}
         v: Dict[str, jax.Array] = {}
+        st = jnp.bfloat16 if self.stage_dtype == "bfloat16" else None
         for t, x in x_dict.items():
             qkv = nn.Dense(3 * self.hidden, name=f"qkv_{t}")(x)
+            if st is not None:
+                qkv = qkv.astype(st)
             q[t], k[t], v[t] = (
                 a.reshape(-1, self.heads, h_dim)
                 for a in jnp.split(qkv, 3, axis=-1)
@@ -383,6 +392,10 @@ class HGTLayer(nn.Module):
                 prior = self.param(
                     f"prior_{tag}", nn.initializers.ones, (n_rel, self.heads)
                 )
+                if st is not None:
+                    w_att, w_msg, prior = (
+                        w_att.astype(st), w_msg.astype(st), prior.astype(st)
+                    )
                 segs = idx[:, 0, :]  # [R, E] union aggregator (pad = n_union)
                 dst_ids = idx[:, 1, :]  # [R, E] union info source (pad = 0)
                 q_e = q_u[jnp.minimum(segs, n_union)]
@@ -413,6 +426,10 @@ class HGTLayer(nn.Module):
                 (n_rel, self.heads, h_dim, h_dim),
             )
             prior = self.param(f"prior_{tag}", nn.initializers.ones, (n_rel, self.heads))
+            if st is not None:
+                w_att, w_msg, prior = (
+                    w_att.astype(st), w_msg.astype(st), prior.astype(st)
+                )
             n_src = x_dict[src_t].shape[0]
             n_dst = x_dict[dst_t].shape[0]
             src_ids = idx[:, 0, :]  # [R, E] aggregator
@@ -439,8 +456,8 @@ class HGTLayer(nn.Module):
                 segment_softmax_agg_sorted,
             )
 
-            logits = jnp.concatenate(union_logits, axis=0)  # [Eu, H]
-            msgs = jnp.concatenate(union_msgs, axis=0)  # [Eu, H, D]
+            logits = jnp.concatenate(union_logits, axis=0).astype(jnp.float32)
+            msgs = jnp.concatenate(union_msgs, axis=0).astype(jnp.float32)
             # block-major sorted segment ids: every relation row of every
             # stack is one block (rows stay src-sorted from the sampler,
             # padding ids equal n_union < m so they sort last and land on a
@@ -468,8 +485,9 @@ class HGTLayer(nn.Module):
                 jax.default_backend() == "cpu",  # interpret off-TPU
             )[:n_union]
         elif union_logits:
-            logits = jnp.concatenate(union_logits, axis=0)  # [Eu, H]
-            msgs = jnp.concatenate(union_msgs, axis=0)  # [Eu, H, D]
+            # softmax + segment accumulation stay f32 regardless of staging
+            logits = jnp.concatenate(union_logits, axis=0).astype(jnp.float32)
+            msgs = jnp.concatenate(union_msgs, axis=0).astype(jnp.float32)
             segs = jnp.concatenate(union_segs, axis=0)  # [Eu]
             seg_max = jax.ops.segment_max(logits, segs, num_segments=n_union)
             seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
@@ -519,6 +537,7 @@ class HybridHGT(nn.Module):
     edge_types: Tuple[EdgeType, ...] = ()
     group_mode: str = "pair"  # see HGTLayer.group_mode
     use_pallas: bool = False  # see HGTLayer.use_pallas
+    stage_dtype: str = "float32"  # see HGTLayer.stage_dtype
 
     @nn.compact
     def __call__(
@@ -541,6 +560,7 @@ class HybridHGT(nn.Module):
             h = HGTLayer(
                 self.hidden, self.heads, self.edge_types,
                 group_mode=self.group_mode, use_pallas=self.use_pallas,
+                stage_dtype=self.stage_dtype,
                 name=f"layer_{i}"
             )(h, edge_index_dict, stacked)
             h = {

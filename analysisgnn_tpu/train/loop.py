@@ -85,6 +85,13 @@ class TrainConfig:
     # per-layer rematerialization (HybridGNN): memory lever for very long
     # full-graph training (models/encoders.py::HybridGNN.remat)
     remat: bool = False
+    # fused-SAGE implementation ("node" | "edge" | "edge-zxp"): "node" wins
+    # at the sampled-subgraph training shape (dispatch-bound), "edge" at
+    # bandwidth-bound full-graph scale (models/fused.py; roofline A/B in
+    # docs/STATUS.md)
+    conv_impl: str = "node"
+    # HGT q/k/v + edge-transform staging dtype (models/encoders.py HGTLayer)
+    hgt_stage_dtype: str = "float32"
     # torch-nn.Linear-style uniform init for Dense kernels/biases — the
     # reference's effective init; measurably faster convergence at the
     # reference recipe (train/state.py::torch_style_reinit)
@@ -151,6 +158,8 @@ class Trainer:
             use_pallas=config.use_pallas,
             hgt_group_mode=config.hgt_group_mode,
             remat=config.remat,
+            conv_impl=config.conv_impl,
+            hgt_stage_dtype=config.hgt_stage_dtype,
         )
         self.history: List[Dict] = []
         self.best_val = float("inf")

@@ -85,6 +85,11 @@ def bench_encoder(encoder_type: str, tasks, batches, steps: int = 24) -> dict:
     if variant in ("edge", "edgezxp"):
         conv_impl = {"edge": "edge", "edgezxp": "edge-zxp"}[variant]
         variant = ""
+    # "HGT-bf16st" / "HGT-emax-bf16st": bf16 q/k/v staging (HGTLayer)
+    stage_dtype = "float32"
+    if variant.endswith("bf16st"):
+        stage_dtype = "bfloat16"
+        variant = variant[: -len("bf16st")].strip("-")
     group_mode = variant.split("-")[0] or "pair"
     model = AnalysisGNN(
         metadata=(nodes, edges_meta),
@@ -98,6 +103,7 @@ def bench_encoder(encoder_type: str, tasks, batches, steps: int = 24) -> dict:
         hgt_group_mode=group_mode,
         use_pallas=use_pallas,
         conv_impl=conv_impl,
+        hgt_stage_dtype=stage_dtype,
     )
     batch = batches[0]
     attrs = batch.node_attrs[NOTE]

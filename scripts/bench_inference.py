@@ -50,10 +50,17 @@ def main() -> None:
     graph = graph_from_note_array(na)
     nodes, edges_meta = metadata(True, True)
     enc, _, variant = encoder.lower().partition("-")
+    # "<enc>-edge" selects the fused-SAGE edge impl (models/fused.py) —
+    # same arm grammar as scripts/bench_encoders.py
+    conv_impl = "node"
+    if variant in ("edge", "edgezxp"):
+        conv_impl = {"edge": "edge", "edgezxp": "edge-zxp"}[variant]
+        variant = ""
     model = AnalysisGNN(
         metadata=(nodes, edges_meta), in_channels=25, hidden_channels=256,
         out_channels=128, task_dict=tasks, num_layers=3, dropout=0.0,
         encoder_type=enc, hgt_group_mode=variant or "pair",
+        conv_impl=conv_impl,
     )
     attrs = graph.node_attrs[NOTE]
     args = (

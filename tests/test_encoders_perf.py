@@ -307,3 +307,53 @@ def test_hybridgnn_remat_gradients_identical():
     g1 = jax.grad(lambda p: jnp.sum(e1.apply(p, x, edges) ** 2))(p)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_hgt_bf16_staging_close_to_f32():
+    """stage_dtype="bfloat16" stages q/k/v + edge transforms in bf16 while
+    params and the softmax/segment accumulation stay f32: same params give
+    outputs within bf16 rounding of the f32 path, in both group modes, and
+    gradients stay finite (full-model micro A/B:
+    bench_queue/hgt_variants.json v2-blockdiag vs v2-bf16, rel-err 2e-6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from analysisgnn_tpu.models.encoders import HGTLayer
+
+    rng = np.random.default_rng(7)
+    n, b = 20, 5
+    x_dict = {
+        NOTE: jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32)),
+        "beat": jnp.asarray(rng.normal(size=(b, 16)).astype(np.float32)),
+    }
+    ets = tuple((NOTE, rel, NOTE) for rel in ("onset", "consecutive"))
+    ets += ((NOTE, "onset_in", "beat"),)
+    sizes = {NOTE: n, "beat": b}
+    edges = {}
+    for i, et in enumerate(ets):
+        e = 6 + 2 * i
+        src = rng.integers(0, sizes[et[0]], e)
+        dst = rng.integers(0, sizes[et[2]], e)
+        src[-1] = sizes[et[0]]  # padding row must still drop
+        edges[et] = jnp.asarray(np.stack([src, dst]))
+
+    for mode in ("pair", "emax"):
+        f32 = HGTLayer(8, 2, ets, group_mode=mode)
+        bf16 = HGTLayer(8, 2, ets, group_mode=mode, stage_dtype="bfloat16")
+        params = f32.init(jax.random.PRNGKey(0), x_dict, edges)
+        out_f32 = f32.apply(params, x_dict, edges)
+        out_bf16 = bf16.apply(params, x_dict, edges)
+        for t in x_dict:
+            assert np.asarray(out_bf16[t]).dtype == np.float32
+            np.testing.assert_allclose(
+                np.asarray(out_f32[t]), np.asarray(out_bf16[t]),
+                rtol=0.05, atol=0.05,
+            )
+
+        def loss(p):
+            o = bf16.apply(p, x_dict, edges)
+            return sum(jnp.sum(v * v) for v in o.values())
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
