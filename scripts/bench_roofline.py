@@ -73,6 +73,8 @@ ARMS = {
                     pallas=False, remat=False),
     "xl-f32-remat": dict(sub=4000, bs=16, notes=16000, k=1, dtype="float32",
                          pallas=False, remat=True),
+    "xl-bf16-remat": dict(sub=4000, bs=16, notes=16000, k=1, dtype="bfloat16",
+                          pallas=False, remat=True),
     # round-4 HBM-restructure A/B: conv_impl=edge (models/fused.py layout 2)
     "small-f32-edge": dict(sub=500, bs=8, notes=2000, k=6, dtype="float32",
                            pallas=False, remat=False, conv_impl="edge"),

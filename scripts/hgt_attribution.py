@@ -148,6 +148,12 @@ def main() -> None:
     if variant in ("edge", "edgezxp"):
         conv_impl = {"edge": "edge", "edgezxp": "edge-zxp"}[variant]
         variant = ""
+    # "HGT-bf16st" / "HGT-emax-bf16st": bf16 q/k/v staging (HGTLayer),
+    # same arm grammar as scripts/bench_encoders.py
+    stage_dtype = "float32"
+    if variant.endswith("bf16st"):
+        stage_dtype = "bfloat16"
+        variant = variant[: -len("bf16st")].strip("-")
     model = AnalysisGNN(
         metadata=(nodes, edges_meta), in_channels=25, hidden_channels=256,
         out_channels=128, task_dict=tasks, num_layers=3, dropout=0.3,
@@ -155,6 +161,7 @@ def main() -> None:
         hgt_group_mode=(variant.split("-")[0] or "pair"),
         use_pallas=variant.endswith("pallas"),
         conv_impl=conv_impl,
+        hgt_stage_dtype=stage_dtype,
     )
     batch = batches[0]
     attrs = batch.node_attrs[NOTE]
