@@ -107,6 +107,13 @@ def get_parser() -> argparse.ArgumentParser:
                    help="keep flax default init instead of the torch-"
                         "nn.Linear-style uniform draw (the reference's "
                         "effective init; see train/state.py)")
+    p.add_argument("--no_fused_torch_init", dest="fused_torch_init",
+                   action="store_false", default=True,
+                   help="restrict the torch-style draw to plain Dense "
+                        "modules (the round-4 scope), leaving the fused "
+                        "relation-batched SAGE weights and per-task head "
+                        "stacks at flax defaults — bisect knob for the "
+                        "key-head family study (RESULTS.md)")
     p.add_argument("--hgt_group_mode", type=str, default="pair",
                    choices=["pair", "emax"],
                    help="HGT relation-stack grouping (emax = union-space "
@@ -309,6 +316,7 @@ def main(argv=None) -> None:
         conv_impl=config.get("conv_impl", "node"),
         remat=config.get("remat", False),
         torch_init=config.get("torch_init", True),
+        fused_torch_init=config.get("fused_torch_init", True),
         logit_fusion=config.get("logit_fusion", False),
         use_rnn=config.get("use_rnn", False),
         mt_strategy=config.get("mt_strategy", "wloss"),

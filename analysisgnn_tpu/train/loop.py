@@ -96,6 +96,11 @@ class TrainConfig:
     # reference's effective init; measurably faster convergence at the
     # reference recipe (train/state.py::torch_style_reinit)
     torch_init: bool = True
+    # extend the torch-style draw to the fused batched linears (relation-
+    # batched SAGE weights + per-task head stacks) that the reference
+    # implements as individual torch nn.Linears; False reproduces the
+    # round-4 Dense-only scope for bisects (train/state.py docstring)
+    fused_torch_init: bool = True
     mt_strategy: str = "wloss"
     lambda_dctn: float = 0.5
     lambda_featl: float = 0.1
@@ -185,7 +190,9 @@ class Trainer:
         if self.cfg.torch_init:
             from analysisgnn_tpu.train.state import torch_style_reinit
 
-            params = torch_style_reinit(params, seed=self.cfg.seed)
+            params = torch_style_reinit(
+                params, seed=self.cfg.seed, fused=self.cfg.fused_torch_init
+            )
         total_steps = sum(self._epochs_per_task()) * max(
             self.dm.steps_per_epoch(self.dm.main_tasks[0]), 1
         )
@@ -462,6 +469,13 @@ class Trainer:
                         cf.write(json.dumps({
                             "global_epoch": global_epoch,
                             "steps": total_steps_done,
+                            # learned wloss uncertainty p per task: the
+                            # per-head effective-lr probe (VERDICT r4 ask
+                            # #1a) — same field in the torch anchor's curve
+                            "wloss_p": [
+                                round(float(v), 5)
+                                for v in np.asarray(state.mt_params)
+                            ],
                             **{k: float(v) for k, v in test_metrics.items()},
                         }) + "\n")
 

@@ -64,7 +64,7 @@ def create_train_state(
     )
 
 
-def torch_style_reinit(params: Any, seed: int = 0) -> Any:
+def torch_style_reinit(params: Any, seed: int = 0, fused: bool = True) -> Any:
     """Redraw Dense kernels/biases from torch ``nn.Linear``'s default
     distribution: U(-1/sqrt(fan_in), +1/sqrt(fan_in)) for kernels, and a
     uniform of the same form for biases (flax defaults: lecun_normal
@@ -75,13 +75,32 @@ def torch_style_reinit(params: Any, seed: int = 0) -> Any:
     reaches root_acc 0.773 vs 0.747 for the flax default over the same 650
     steps (bench_queue/dropout_bisect.json arm "torch-init").
 
-    Scope — exactly what torch ``nn.Linear`` covers and nothing more:
-    only modules holding a *plain Dense* kernel (ndim==2) are redrawn;
-    both kernel and its sibling bias use fan_in = kernel.shape[0]
-    (torch's in_features).  DenseGeneral/attention kernels (ndim>=3),
-    LayerNorm scales/biases, embeddings, and the fused-conv einsum
-    weights all keep their flax defaults — matching torch, which zeros
-    norm biases and uses per-module init elsewhere."""
+    Scope — what torch ``nn.Linear`` covers in the reference model:
+
+    * modules holding a *plain Dense* kernel (ndim==2); both kernel and
+      its sibling bias use fan_in = kernel.shape[0] (torch's in_features).
+    * with ``fused=True`` (the default since round 5), the relation/task-
+      BATCHED linears that this framework fuses into single einsum params
+      but that the reference implements as per-relation / per-task torch
+      ``nn.Linear`` modules: ``FusedHeteroSage``'s ``w_neigh/w_self/w_agg``
+      (the reference SageConv's ``Linear(f,f)`` + the two halves of its
+      ``Linear(2f,g)`` — torch_geometric SAGEConv semantics, and the torch
+      anchor ``scripts/bench_torch_reference.py::SageConv``), and
+      ``FusedTaskHeads``'s ``w1/w2`` (the reference's per-task 2-layer
+      heads, analysisgnn/models/analysis.py:486-496).  Each task/relation
+      slice is an independent torch Linear, so the whole stacked param is
+      drawn from the same U(±1/sqrt(fan_in)) with fan_in = the slice's
+      in_features.  Round 4 and earlier skipped these (ndim==3), leaving
+      the HEADS — exactly the module family where the key-region/large-
+      vocab metric gap lives (RESULTS.md §Crossover) — at lecun-normal
+      kernels with ZERO biases while the anchor's heads carried the torch
+      draw; ``fused=False`` reproduces that round-4 behavior for bisects
+      (CLI ``--no_fused_torch_init``).
+
+    DenseGeneral/attention kernels (ndim>=3 outside the table below),
+    LayerNorm scales/biases, and embeddings keep their flax defaults —
+    matching torch, which zeros norm biases and uses per-module init
+    elsewhere."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -91,12 +110,29 @@ def torch_style_reinit(params: Any, seed: int = 0) -> Any:
 
     from collections.abc import Mapping
 
+    def _fused_fan_in(node):
+        """{param_name: torch fan_in} for the known batched-linear layouts."""
+        fans = {}
+        w = node.get("w_neigh")
+        if getattr(w, "ndim", 0) == 3:
+            f = w.shape[-2]
+            # w_self/w_agg/b_out are the split halves of SageConv's
+            # Linear(2f, g): torch draws that matrix with fan_in = 2f
+            fans.update({"w_neigh": f, "b_neigh": f,
+                         "w_self": 2 * f, "w_agg": 2 * f, "b_out": 2 * f})
+        w = node.get("w1")
+        if getattr(w, "ndim", 0) == 3 and getattr(node.get("w2"), "ndim", 0) == 3:
+            f, h = w.shape[-2], node["w2"].shape[-2]
+            fans.update({"w1": f, "b1": f, "w2": h, "b2": h})
+        return fans
+
     def walk(node):
         if not isinstance(node, Mapping):
             return node
         kernel = node.get("kernel")
         is_dense = getattr(kernel, "ndim", 0) == 2
         fan_in = kernel.shape[0] if is_dense else None
+        fused_fan = _fused_fan_in(node) if fused else {}
         out = {}
         for key in sorted(node):  # sorted: rng draw order independent of
             leaf = node[key]  # dict insertion order
@@ -106,6 +142,8 @@ def torch_style_reinit(params: Any, seed: int = 0) -> Any:
                 out[key] = draw(1.0 / np.sqrt(fan_in), leaf.shape)
             elif is_dense and key == "bias" and leaf.ndim == 1:
                 out[key] = draw(1.0 / np.sqrt(fan_in), leaf.shape)
+            elif key in fused_fan:
+                out[key] = draw(1.0 / np.sqrt(fused_fan[key]), leaf.shape)
             else:
                 out[key] = leaf
         return out

@@ -353,6 +353,9 @@ def stage_torch(dropout: float = 0.3) -> None:
             curve.append({
                 "global_epoch": epoch + 1,
                 "steps": step_i,
+                # learned wloss uncertainty p per task — mirror of the jax
+                # curve's field (per-head effective-lr probe, VERDICT r4 #1a)
+                "wloss_p": [round(float(v), 5) for v in wloss_p.detach()],
                 **{k: float(v) for k, v in m.items()},
             })
             with open(os.path.join(ROOT, f"results_torch_curve{TAG}.jsonl"), "a") as cf:

@@ -29,9 +29,15 @@ def test_reinit_bounds_and_scope():
     assert np.abs(k).std() > 0.1 * bound_k
     # flax zero-bias replaced by a nonzero uniform draw
     assert np.abs(b).max() > 0
-    # non-Dense leaves untouched
+    # fused batched-linear params ARE redrawn (round-5 scope): each task/
+    # relation slice is an independent torch Linear with fan_in=shape[-2]
+    w = np.asarray(out["params"]["w_neigh"])
+    assert np.abs(w).max() <= 1.0 / np.sqrt(32) + 1e-6
+    assert np.abs(w - np.asarray(params["params"]["w_neigh"])).max() > 0
+    # round-4 scope reproducible for bisects
+    legacy = torch_style_reinit(params, seed=3, fused=False)
     np.testing.assert_array_equal(
-        np.asarray(out["params"]["w_neigh"]),
+        np.asarray(legacy["params"]["w_neigh"]),
         np.asarray(params["params"]["w_neigh"]),
     )
     np.testing.assert_array_equal(
@@ -94,3 +100,43 @@ def test_reinit_deterministic():
     ka, kb, kc = (np.asarray(x["params"]["kernel"]) for x in (a, b, c))
     np.testing.assert_array_equal(ka, kb)
     assert np.abs(ka - kc).max() > 0
+
+
+def test_reinit_fused_layouts():
+    """Round-5 scope: FusedHeteroSage relation stacks and FusedTaskHeads
+    per-task stacks are drawn as stacked torch Linears — w_self/w_agg/b_out
+    use fan_in=2f (the two halves of SageConv's Linear(2f, g)); head w2/b2
+    use fan_in=h.  LayerNorm-style ln_scale/ln_bias stay untouched."""
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            init = nn.initializers.lecun_normal()
+            conv = {
+                k: self.param(k, init, (3, 16, 16))
+                for k in ("w_neigh", "w_self", "w_agg")
+            }
+            heads = {
+                "w1": self.param("w1", init, (5, 16, 8)),
+                "w2": self.param("w2", init, (5, 8, 40)),
+            }
+            b1 = self.param("b1", nn.initializers.zeros, (5, 1, 8))
+            ln = self.param("ln_scale", nn.initializers.ones, (5, 1, 8))
+            return sum(v.sum() for v in conv.values()) + sum(
+                v.sum() for v in heads.values()
+            ) + b1.sum() + ln.sum()
+
+    m = M()
+    params = m.init(jax.random.PRNGKey(0), jnp.ones((2, 16)))
+    out = torch_style_reinit(params, seed=5)
+    p = out["params"]
+    for key, fan in (("w_neigh", 16), ("w_self", 32), ("w_agg", 32)):
+        v = np.asarray(p[key])
+        assert np.abs(v).max() <= 1.0 / np.sqrt(fan) + 1e-6, key
+        assert np.abs(v).std() > 0.1 / np.sqrt(fan), key
+    # heads: w1 fan_in=16, w2 fan_in=8; b1 redrawn nonzero; ln_scale kept
+    assert np.abs(np.asarray(p["w1"])).max() <= 1.0 / 4 + 1e-6
+    assert np.abs(np.asarray(p["w2"])).max() <= 1.0 / np.sqrt(8) + 1e-6
+    assert np.abs(np.asarray(p["b1"])).max() > 0
+    np.testing.assert_array_equal(np.asarray(p["ln_scale"]), 1.0)
