@@ -116,6 +116,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "inference run (parameter-compatible; 'edge' moves "
                         "fewer HBM bytes at full-graph scale — "
                         "docs/STATUS.md roofline)")
+    p.add_argument("--hgt_stage_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="override the HGT q/k/v staging dtype for this "
+                        "inference run; default = whatever the checkpoint "
+                        "was trained with (model_config.json), falling back "
+                        "to float32 (ADVICE r4: the saved key was "
+                        "previously ignored on the predict path)")
     p.add_argument("--tasks", type=str, default=None, help="comma list; default all")
     p.add_argument("--output_csv", type=str, default=None)
     p.add_argument("--output_musicxml", type=str, default=None,
@@ -127,7 +134,8 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def load_model_and_params(checkpoint_dir: str, tag: str,
-                          conv_impl: str | None = None):
+                          conv_impl: str | None = None,
+                          hgt_stage_dtype: str | None = None):
     import jax
     import orbax.checkpoint as ocp
 
@@ -158,6 +166,17 @@ def load_model_and_params(checkpoint_dir: str, tag: str,
         # computation-order knob only — the param tree is identical across
         # impls (tests/test_fused.py), so any checkpoint can run either
         conv_impl=conv_impl or cfg.get("conv_impl", "node"),
+        # numerics knob (bf16 staging, f32 softmax/accum): honor the value
+        # the checkpoint was trained with unless overridden.  An explicit
+        # override is passed through verbatim so an incompatible encoder
+        # raises instead of silently measuring f32 (ADVICE r4); the saved
+        # config value is only honored for HGT checkpoints.
+        hgt_stage_dtype=(
+            hgt_stage_dtype if hgt_stage_dtype is not None
+            else (cfg.get("hgt_stage_dtype", "float32")
+                  if cfg.get("model", "HybridGNN").lower() == "hgt"
+                  else "float32")
+        ),
     )
     # build an abstract params tree to restore into
     import numpy as np
@@ -203,7 +222,8 @@ def main(argv=None) -> None:
         args.checkpoint_dir, args.checkpoint, args.artifacts_dir
     )
     model, params, cfg = load_model_and_params(
-        ckpt_dir, args.checkpoint, conv_impl=args.conv_impl
+        ckpt_dir, args.checkpoint, conv_impl=args.conv_impl,
+        hgt_stage_dtype=args.hgt_stage_dtype
     )
     tasks = args.tasks.split(",") if args.tasks else None
 

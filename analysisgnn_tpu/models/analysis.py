@@ -108,6 +108,21 @@ class AnalysisGNN(nn.Module):
         }
         enc_cls = ENCODERS[self.encoder_type.lower()]
         enc_kwargs = {}
+        # Fail fast on flag/encoder combinations the constructor would
+        # silently ignore (ADVICE r4: a benchmark arm labeled "edge" or
+        # "bf16st" must measure what it claims or refuse to run).
+        if self.conv_impl != "node" and self.encoder_type.lower() not in (
+            "hybridgnn", "metricalgnn"
+        ):
+            raise ValueError(
+                f"conv_impl={self.conv_impl!r} is a fused-SAGE option; "
+                f"encoder_type={self.encoder_type!r} cannot honor it"
+            )
+        if self.hgt_stage_dtype != "float32" and self.encoder_type.lower() != "hgt":
+            raise ValueError(
+                f"hgt_stage_dtype={self.hgt_stage_dtype!r} only applies to "
+                f"encoder_type='hgt' (got {self.encoder_type!r})"
+            )
         if self.encoder_type.lower() == "hybridgnn":
             if self.final_norm:
                 enc_kwargs["final_norm"] = True
@@ -115,6 +130,9 @@ class AnalysisGNN(nn.Module):
                 enc_kwargs["use_pallas"] = True
             if self.remat:
                 enc_kwargs["remat"] = True
+            if self.conv_impl != "node":
+                enc_kwargs["conv_impl"] = self.conv_impl
+        if self.encoder_type.lower() == "metricalgnn":
             if self.conv_impl != "node":
                 enc_kwargs["conv_impl"] = self.conv_impl
         if self.encoder_type.lower() == "hgt":

@@ -628,6 +628,11 @@ class MetricalGNN(nn.Module):
     use_jk: bool = True
     edge_types: Tuple[EdgeType, ...] = ()
     seq_impl: str = "assoc"  # metrical-axis recurrence (see MetricalConv)
+    # fused-SAGE implementation for the note-level HeteroConv layers
+    # ("node" | "edge" | "edge-zxp", models/fused.py) — same A/B surface as
+    # HybridGNN so conv_impl benchmark arms measure what they claim
+    # (ADVICE r4: previously silently ignored here)
+    conv_impl: str = "node"
 
     def _note_edge_types(self):
         return tuple(e for e in self.edge_types if e[0] == NOTE and e[2] == NOTE)
@@ -697,14 +702,16 @@ class MetricalGNN(nn.Module):
                         jnp.concatenate(parts, axis=-1)
                     )
                     h = {NOTE: l2_normalize(nn.relu(z))}
-            h = HeteroConv(self.hidden, note_ets, name=f"layer_{i}")(h, note_edges)
+            h = HeteroConv(self.hidden, note_ets, conv_impl=self.conv_impl,
+                           name=f"layer_{i}")(h, note_edges)
             h = {NOTE: nn.Dropout(self.dropout)(
                 nn.relu(l2_normalize(h[NOTE])), deterministic=deterministic
             )}
             note_states.append(h[NOTE])
         if self.use_jk:
             h = {NOTE: LayerAttentionJK(self.hidden, name="jk")(note_states)}
-        out = HeteroConv(self.hidden, note_ets, name="final")(h, note_edges)
+        out = HeteroConv(self.hidden, note_ets, conv_impl=self.conv_impl,
+                         name="final")(h, note_edges)
         return out[NOTE]
 
 

@@ -224,31 +224,47 @@ def main():
                                  check=True)
             return json.loads(out.stdout.strip().splitlines()[-1])["t"]
 
-        t_full = shard_time(",".join(str(i) for i in range(cores)))
-        t_fair = shard_time(",".join(str(i) for i in range(cores // 2)))
+        # The expensive D-sweep rows above are already measured; a missing
+        # taskset binary or a failing half-batch child (OOM, import error)
+        # must not lose them (ADVICE r4) — degrade to host_artifact carrying
+        # the error string and still write the JSON below.
+        try:
+            t_full = shard_time(",".join(str(i) for i in range(cores)))
+            t_fair = shard_time(",".join(str(i) for i in range(cores // 2)))
+        except (OSError, subprocess.CalledProcessError, ValueError,
+                KeyError, json.JSONDecodeError) as e:
+            detail = ""
+            if isinstance(e, subprocess.CalledProcessError):
+                detail = (e.stderr or "").strip()[-500:]
+            host_artifact = {"error": f"{type(e).__name__}: {e}",
+                             "stderr_tail": detail}
+            t_full = t_fair = None
         t_d2 = d2_row["ms_per_step"] / 1e3
         t_comm = d2_row["comm_ms_direct"] / 1e3
-        host_artifact = {
-            "t_halfbatch_all_cores_ms": round(t_full * 1e3, 1),
-            "t_halfbatch_fair_share_cores_ms": round(t_fair * 1e3, 1),
-            "attribution_of_d2_step_pct": {
-                "work_fair_core_share": round(100 * t_fair / t_d2, 1),
-                "comm_direct": round(100 * t_comm / t_d2, 1),
-                "mesh_dispatch_sync": round(
-                    100 * (t_d2 - t_fair - t_comm) / t_d2, 1
+        if t_full is None:
+            print(json.dumps({"dp_host_artifact": host_artifact}), flush=True)
+        else:
+            host_artifact = {
+                "t_halfbatch_all_cores_ms": round(t_full * 1e3, 1),
+                "t_halfbatch_fair_share_cores_ms": round(t_fair * 1e3, 1),
+                "attribution_of_d2_step_pct": {
+                    "work_fair_core_share": round(100 * t_fair / t_d2, 1),
+                    "comm_direct": round(100 * t_comm / t_d2, 1),
+                    "mesh_dispatch_sync": round(
+                        100 * (t_d2 - t_fair - t_comm) / t_d2, 1
+                    ),
+                },
+                "host_artifact_ms": round((t_fair - t_full) * 1e3, 1),
+                "hardware_projection_d2": round(
+                    rows[0]["ms_per_step"] / 1e3 / (2 * t_full), 3
                 ),
-            },
-            "host_artifact_ms": round((t_fair - t_full) * 1e3, 1),
-            "hardware_projection_d2": round(
-                rows[0]["ms_per_step"] / 1e3 / (2 * t_full), 3
-            ),
-            "note": "each real chip runs its half batch at full-chip speed "
-                    "(t_halfbatch_all_cores); the virtual-mesh psum time is "
-                    "NOT projected — on hardware the grad all-reduce rides "
-                    "ICI (see ici_projection, ~2 ms at D=8 vs the ~28 ms "
-                    "on-chip step)",
-        }
-        print(json.dumps({"dp_host_artifact": host_artifact}), flush=True)
+                "note": "each real chip runs its half batch at full-chip speed "
+                        "(t_halfbatch_all_cores); the virtual-mesh psum time is "
+                        "NOT projected — on hardware the grad all-reduce rides "
+                        "ICI (see ici_projection, ~2 ms at D=8 vs the ~28 ms "
+                        "on-chip step)",
+            }
+            print(json.dumps({"dp_host_artifact": host_artifact}), flush=True)
 
     # analytic ICI projection for real chips: the exchanged volume is the
     # grads (n_params x 4B); ring all-reduce wire time = 2(D-1)/D x V / BW
