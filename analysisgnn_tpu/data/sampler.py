@@ -109,6 +109,21 @@ class SamplerConfig:
     # warning + counter (see ``edge_overflow``).  0 disables.
     calibrate_batches: int = 8
     edge_capacity_headroom: float = 1.5
+    # Node-capacity calibration (round 5): the static note capacity
+    # ``batch·subgraph·factor`` assumes every batch carries ``batch_size``
+    # graphs each doubling via neighbor closure; measured closures add ~1%
+    # (contiguous target windows absorb their own neighbors) and a corpus
+    # smaller than batch_size caps the graph count (the graphmuse loader
+    # contract: one subgraph per score per batch), so real batches filled
+    # as little as 6% of the padded node rows — and every conv layer pays
+    # per-PADDED-row HBM traffic.  Calibration shrinks note/metrical
+    # capacities to the observed trial-batch maxima × this headroom
+    # (multiple of 256, never above the static formula, never below
+    # n_graphs·subgraph so targets always fit).  Per-graph sampling
+    # budgets are derived from the calibrated cap, which makes node
+    # overflow deterministically impossible: Σ per-graph ≤
+    # n_graphs·(cap//n_graphs) ≤ cap.
+    node_capacity_headroom: float = 1.5
     # Reference loader's ``subgraph_sample_ratio`` (train loaders pass 0.5,
     # reference data/datamodules/analysis.py:270-293; the graphmuse C
     # sampler is uninstallable here, so this is a RECONSTRUCTION of its
@@ -139,8 +154,12 @@ class SubgraphSampler:
         self._csr_cache: List[Dict[EdgeType, Tuple[np.ndarray, np.ndarray, np.ndarray]]] = [
             None
         ] * len(self.samples)
-        # static capacities
+        # static capacities.  n_graphs_eff is the actual graphs per batch:
+        # the graphmuse loader contract yields one subgraph per score, so a
+        # corpus smaller than batch_size bounds the batch (DataLoader
+        # semantics on a short dataset).
         c = config
+        self.n_graphs_eff = max(min(c.batch_size, len(self.samples)), 1)
         self.note_cap = int(c.batch_size * c.subgraph_size * c.node_capacity_factor)
         self.metrical_cap = max(self.note_cap // 4, 8)
         self.edge_caps: Dict[EdgeType, int] = {}
@@ -152,7 +171,8 @@ class SubgraphSampler:
             base = self.note_cap if NOTE in (et[0], et[2]) else self.metrical_cap
             self.edge_caps[et] = int(base * per_note)
         if c.calibrate_batches > 0:
-            self._calibrate_edge_caps(c.calibrate_batches, c.edge_capacity_headroom)
+            self._calibrate_caps(c.calibrate_batches, c.edge_capacity_headroom,
+                                 c.node_capacity_headroom)
         self.feature_dims = {t: v.shape[1] for t, v in self.samples[0].features.items()}
         self.attr_names = sorted(self.samples[0].note_attrs.keys())
         # observability: edges dropped by capacity truncation, per edge type
@@ -169,34 +189,65 @@ class SubgraphSampler:
 
     # ------------------------------------------------------------------ #
 
-    def _calibrate_edge_caps(self, trials: int, headroom: float) -> None:
-        """Shrink static edge capacities to observed batch maxima × headroom.
+    def _calibrate_caps(self, trials: int, headroom: float,
+                        node_headroom: float) -> None:
+        """Shrink static edge AND node capacities to observed batch maxima ×
+        headroom.
 
         Runs ``trials`` full batch samplings with the SAME code path as
-        :meth:`sample_batch` (edge caps only affect packing, never which
-        nodes/edges get sampled), records the raw per-relation edge counts,
-        then restores the RNG state so the training stream is byte-identical
-        with calibration on or off.
-        """
+        :meth:`sample_batch` (caps only affect packing, never which
+        nodes/edges get sampled at the formula-sized budgets), records raw
+        per-relation edge counts and per-type node counts, then restores
+        the RNG state.  Edge capacities only affect packing, so the edge
+        stream is byte-identical with calibration on or off; NODE
+        calibration also tightens the per-graph sampling budgets (see
+        :meth:`_sample_one`) to make overflow impossible — the budget only
+        binds on batches that would have exceeded the calibrated cap,
+        which the headroom makes vanishingly rare (measured closures add
+        ~1% over targets)."""
         state = self.rng.bit_generator.state
         observed: Dict[EdgeType, int] = {et: 0 for et in self.edge_caps}
+        obs_notes = 0
+        obs_metrical = 0
         for _ in range(trials):
             graph_indices = self.rng.choice(
                 len(self.samples),
-                size=min(self.cfg.batch_size, len(self.samples)),
+                size=self.n_graphs_eff,
                 replace=len(self.samples) < self.cfg.batch_size,
             )
             counts: Dict[EdgeType, int] = {et: 0 for et in self.edge_caps}
+            n_notes = 0
+            n_metrical = 0
             for gi in graph_indices:
-                _, edges, _ = self._sample_one(int(gi))
+                order, edges, _ = self._sample_one(int(gi))
+                n_notes += len(order[NOTE])
+                # metrical types share one capacity: track the largest
+                # single type's batch total
+                per_type: Dict[str, int] = {}
+                for t, v in order.items():
+                    if t != NOTE:
+                        per_type[t] = per_type.get(t, 0) + len(v)
+                n_metrical += max(per_type.values(), default=0)
                 for et, ei in edges.items():
                     counts[et] += ei.shape[1]
+            obs_notes = max(obs_notes, n_notes)
+            obs_metrical = max(obs_metrical, n_metrical)
             for et, cnt in counts.items():
                 observed[et] = max(observed[et], cnt)
         self.rng.bit_generator.state = state
         for et, worst in self.edge_caps.items():
             tight = int(np.ceil(observed[et] * headroom / 256.0)) * 256
             self.edge_caps[et] = min(max(tight, 256), worst)
+        if obs_notes:
+            floor = self.n_graphs_eff * min(
+                self.cfg.subgraph_size,
+                max(s.num_notes for s in self.samples),
+            )
+            tight = int(np.ceil(max(obs_notes * node_headroom, floor) / 256.0)) * 256
+            self.note_cap = min(max(tight, 256), self.note_cap)
+        if obs_metrical:
+            tight = int(np.ceil(obs_metrical * node_headroom / 256.0)) * 256
+            self.metrical_cap = min(max(tight, 256), self.metrical_cap)
 
     def _csr(self, gi: int) -> Dict[EdgeType, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         if self._csr_cache[gi] is None:
@@ -218,13 +269,16 @@ class SubgraphSampler:
         w = min(cfg.subgraph_size, n)
         start = int(self.rng.integers(0, n - w + 1)) if n > w else 0
         targets = np.arange(start, start + w, dtype=np.int64)
-        # per-graph node budgets so a packed batch never exceeds capacity
+        # per-graph node budgets so a packed batch never exceeds capacity:
+        # Σ over the batch's n_graphs_eff graphs of (w + budget) ≤
+        # n_eff·(cap//n_eff) ≤ cap, deterministically — calibrated caps
+        # (see _calibrate_caps) tighten these budgets in lockstep
         budgets = {
-            NOTE: max(self.note_cap // cfg.batch_size - w, 0),
+            NOTE: max(self.note_cap // self.n_graphs_eff - w, 0),
         }
         for t in s.features:
             if t != NOTE:
-                budgets[t] = self.metrical_cap // cfg.batch_size
+                budgets[t] = self.metrical_cap // self.n_graphs_eff
 
         csr = self._csr(gi)
         # per node type: selected ids in order + membership map
@@ -337,7 +391,7 @@ class SubgraphSampler:
         if graph_indices is None:
             graph_indices = self.rng.choice(
                 len(self.samples),
-                size=min(cfg.batch_size, len(self.samples)),
+                size=self.n_graphs_eff,
                 replace=len(self.samples) < cfg.batch_size,
             )
         parts = [self._sample_one(int(gi)) for gi in graph_indices]

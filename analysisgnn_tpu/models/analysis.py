@@ -93,6 +93,8 @@ class AnalysisGNN(nn.Module):
     # HGT q/k/v + edge-transform staging dtype (encoders.py HGTLayer;
     # softmax/segment accumulation stays f32)
     hgt_stage_dtype: str = "float32"
+    # HGT softmax stabilizer ("segment" | "global", HGTLayer.softmax_stab)
+    hgt_softmax_stab: str = "segment"
 
     def setup(self):
         node_types, edge_types = self.metadata
@@ -140,6 +142,8 @@ class AnalysisGNN(nn.Module):
                 enc_kwargs["group_mode"] = self.hgt_group_mode
             if self.hgt_stage_dtype != "float32":
                 enc_kwargs["stage_dtype"] = self.hgt_stage_dtype
+            if self.hgt_softmax_stab != "segment":
+                enc_kwargs["softmax_stab"] = self.hgt_softmax_stab
             if self.use_pallas:
                 # the fused softmax/aggregation kernel needs the union
                 # capacity-binned layout (+ sampler-sorted edges)

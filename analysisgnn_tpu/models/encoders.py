@@ -267,6 +267,35 @@ def _blockdiag_edge_transform(
     return out.reshape(r, e, heads, h_dim)
 
 
+def _blockdiag_kv_transform(
+    rows: jax.Array,  # [R, E, 2·H·D] flat gathered (k ‖ v) rows
+    w_att: jax.Array,  # [R, H, D, D]
+    w_msg: jax.Array,  # [R, H, D, D]
+    heads: int,
+    h_dim: int,
+) -> Tuple[jax.Array, jax.Array]:  # ([R, E, H, D], [R, E, H, D])
+    """Both per-edge typed transforms in ONE r-batched matmul on rows
+    gathered ONCE from a packed ``[N, 2·H·D]`` (k ‖ v) table.
+
+    The k and v transforms of :class:`HGTLayer` consume the same edge
+    index set; gathering them separately costs two E-row gather kernels
+    and two matmul dispatches per group per layer.  Embedding the two
+    block-diagonal ``[H·D, H·D]`` weights into one ``[2·H·D, 2·H·D]``
+    block-diagonal costs 2× the (free, <3%-utilized) MXU FLOPs and halves
+    both kernel counts — the round-5 HGT dispatch lever (the headline
+    shape is dispatch-overhead-bound, docs/STATUS.md).  Values are
+    identical to the separate transforms: the off-diagonal zero blocks
+    contribute exact float zeros to each dot product."""
+    r, e, hd2 = rows.shape
+    hd = hd2 // 2
+    eye2 = jnp.eye(2 * heads, dtype=w_att.dtype)
+    w2 = jnp.concatenate([w_att, w_msg], axis=1)  # [R, 2H, D, D]
+    wbd = jnp.einsum("gh,rhdf->rgdhf", eye2, w2).reshape(r, hd2, hd2)
+    out = jnp.einsum("ref,rfg->reg", rows, wbd)
+    out = out.reshape(r, e, 2, heads, h_dim)
+    return out[:, :, 0], out[:, :, 1]
+
+
 class HGTLayer(nn.Module):
     """Heterogeneous Graph Transformer layer, relation-batched.
 
@@ -323,6 +352,15 @@ class HGTLayer(nn.Module):
     # 3-layer micro-bench reads 45.8 -> 41.7 ms/step with loss rel-err 2e-6
     # (bench_queue/hgt_variants.json v2-blockdiag vs v2-bf16).
     stage_dtype: str = "float32"
+    # Softmax stabilizer: "segment" subtracts the exact per-aggregator max
+    # (one segment_max scatter + one per-edge gather per layer); "global"
+    # subtracts one per-head max over ALL edges — mathematically the same
+    # softmax (any per-segment constant cancels in Σm·e/Σe), two fewer
+    # E-row kernels per layer.  Safe while logits stay within ~±40 of the
+    # global max (exp underflow at ≈88); the encoder's inter-layer L2
+    # normalization bounds q·k well inside that.  Dispatch lever for the
+    # tunnel runtime — A/B'd on chip before any default change.
+    softmax_stab: str = "segment"
 
     @nn.compact
     def __call__(
@@ -339,18 +377,18 @@ class HGTLayer(nn.Module):
                 if self.group_mode == "emax"
                 else stack_edge_groups(edge_index_dict, self.edge_types, x_dict)
             )
+        # q stays flat [N, H·D]; k and v ride PACKED as one [N, 2·H·D]
+        # table so each group gathers them with ONE kernel and transforms
+        # them with ONE block-diagonal matmul (_blockdiag_kv_transform)
         q: Dict[str, jax.Array] = {}
-        k: Dict[str, jax.Array] = {}
-        v: Dict[str, jax.Array] = {}
+        kv: Dict[str, jax.Array] = {}
         st = jnp.bfloat16 if self.stage_dtype == "bfloat16" else None
         for t, x in x_dict.items():
             qkv = nn.Dense(3 * self.hidden, name=f"qkv_{t}")(x)
             if st is not None:
                 qkv = qkv.astype(st)
-            q[t], k[t], v[t] = (
-                a.reshape(-1, self.heads, h_dim)
-                for a in jnp.split(qkv, 3, axis=-1)
-            )
+            q[t] = qkv[:, : self.hidden]
+            kv[t] = qkv[:, self.hidden :]
         # union node space: type offsets so ONE softmax/scatter serves all
         # aggregating types (segments are disjoint across types)
         offsets, n_union = node_type_offsets(x_dict)
@@ -358,20 +396,15 @@ class HGTLayer(nn.Module):
         union_msgs: list = []
         union_segs: list = []
         if self.group_mode == "emax":
-            # q/k/v live in the union node space: ONE gather per stack
-            # serves every relation regardless of its (src,dst) types; a
-            # padding row absorbs clamped out-of-range ids
+            # q/kv live in the union node space: ONE gather per operand per
+            # stack serves every relation regardless of its (src,dst)
+            # types; a padding row absorbs clamped out-of-range ids
             q_u = jnp.concatenate([q[t] for t in node_types] + [
-                jnp.zeros((1, self.heads, h_dim), q[node_types[0]].dtype)
+                jnp.zeros((1, self.hidden), q[node_types[0]].dtype)
             ])
-            k_u = jnp.concatenate([k[t] for t in node_types] + [
-                jnp.zeros((1, self.heads, h_dim), q[node_types[0]].dtype)
+            kv_u = jnp.concatenate([kv[t] for t in node_types] + [
+                jnp.zeros((1, 2 * self.hidden), q[node_types[0]].dtype)
             ])
-            v_u = jnp.concatenate([v[t] for t in node_types] + [
-                jnp.zeros((1, self.heads, h_dim), q[node_types[0]].dtype)
-            ])
-            k_flat = k_u.reshape(-1, self.hidden)
-            v_flat = v_u.reshape(-1, self.hidden)
             for gi, (idx, rels) in enumerate(stacked_groups):
                 n_rel, _, e_max = idx.shape
                 tag = f"g{gi}"
@@ -398,14 +431,13 @@ class HGTLayer(nn.Module):
                     )
                 segs = idx[:, 0, :]  # [R, E] union aggregator (pad = n_union)
                 dst_ids = idx[:, 1, :]  # [R, E] union info source (pad = 0)
-                q_e = q_u[jnp.minimum(segs, n_union)]
-                k_t = _blockdiag_edge_transform(
-                    k_flat[dst_ids], w_att, self.heads, h_dim
+                q_e = q_u[jnp.minimum(segs, n_union)].reshape(
+                    *segs.shape, self.heads, h_dim
+                )
+                k_t, msg = _blockdiag_kv_transform(
+                    kv_u[dst_ids], w_att, w_msg, self.heads, h_dim
                 )
                 logits = (q_e * k_t).sum(-1) * prior[:, None, :] / jnp.sqrt(h_dim)
-                msg = _blockdiag_edge_transform(
-                    v_flat[dst_ids], w_msg, self.heads, h_dim
-                )
                 union_logits.append(logits.reshape(n_rel * e_max, self.heads))
                 union_msgs.append(msg.reshape(n_rel * e_max, self.heads, h_dim))
                 union_segs.append(segs.reshape(-1))
@@ -434,16 +466,13 @@ class HGTLayer(nn.Module):
             n_dst = x_dict[dst_t].shape[0]
             src_ids = idx[:, 0, :]  # [R, E] aggregator
             dst_ids = jnp.minimum(idx[:, 1, :], n_dst - 1)  # [R, E] info source
-            q_e = q[src_t][jnp.minimum(src_ids, n_src - 1)]
-            k_t = _blockdiag_edge_transform(
-                k[dst_t].reshape(-1, self.hidden)[dst_ids],
-                w_att, self.heads, h_dim,
+            q_e = q[src_t][jnp.minimum(src_ids, n_src - 1)].reshape(
+                *src_ids.shape, self.heads, h_dim
+            )
+            k_t, msg = _blockdiag_kv_transform(
+                kv[dst_t][dst_ids], w_att, w_msg, self.heads, h_dim
             )
             logits = (q_e * k_t).sum(-1) * prior[:, None, :] / jnp.sqrt(h_dim)
-            msg = _blockdiag_edge_transform(
-                v[dst_t].reshape(-1, self.hidden)[dst_ids],
-                w_msg, self.heads, h_dim,
-            )
             # padded edges (src == n_src) map to the union out-of-range id
             segs = jnp.where(src_ids >= n_src, n_union, src_ids + offsets[src_t])
             union_logits.append(logits.reshape(n_rel * e_max, self.heads))
@@ -489,11 +518,19 @@ class HGTLayer(nn.Module):
             logits = jnp.concatenate(union_logits, axis=0).astype(jnp.float32)
             msgs = jnp.concatenate(union_msgs, axis=0).astype(jnp.float32)
             segs = jnp.concatenate(union_segs, axis=0)  # [Eu]
-            seg_max = jax.ops.segment_max(logits, segs, num_segments=n_union)
-            seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-            expw = jnp.exp(
-                logits - seg_max[jnp.minimum(segs, n_union - 1)]
-            )  # [Eu, H] unnormalized attention
+            if self.softmax_stab == "global":
+                # one per-head max over all edges: same softmax (the
+                # constant cancels in Σm·e/Σe), minus two E-row kernels
+                gmax = jax.lax.stop_gradient(jnp.max(logits, axis=0))  # [H]
+                expw = jnp.exp(logits - gmax)
+            else:
+                seg_max = jax.ops.segment_max(
+                    logits, segs, num_segments=n_union
+                )
+                seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+                expw = jnp.exp(
+                    logits - seg_max[jnp.minimum(segs, n_union - 1)]
+                )  # [Eu, H] unnormalized attention
             packed = jnp.concatenate(
                 [(msgs * expw[..., None]).reshape(-1, self.hidden), expw], axis=-1
             )  # [Eu, hidden + H]
@@ -538,6 +575,7 @@ class HybridHGT(nn.Module):
     group_mode: str = "pair"  # see HGTLayer.group_mode
     use_pallas: bool = False  # see HGTLayer.use_pallas
     stage_dtype: str = "float32"  # see HGTLayer.stage_dtype
+    softmax_stab: str = "segment"  # see HGTLayer.softmax_stab
 
     @nn.compact
     def __call__(
@@ -561,6 +599,7 @@ class HybridHGT(nn.Module):
                 self.hidden, self.heads, self.edge_types,
                 group_mode=self.group_mode, use_pallas=self.use_pallas,
                 stage_dtype=self.stage_dtype,
+                softmax_stab=self.softmax_stab,
                 name=f"layer_{i}"
             )(h, edge_index_dict, stacked)
             h = {

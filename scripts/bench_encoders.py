@@ -37,7 +37,7 @@ def build_workload():
 
     tasks = tuple(TASK_DICT.items())
     samples = []
-    for s in range(4):
+    for s in range(8):  # one score per batch slot (loader contract)
         na = synthetic_score(num_notes=2000, seed=s)
         feats = select_features(na, "voice")
         g = build_score_graph(na, add_beats=True, add_measures=True)
@@ -90,6 +90,12 @@ def bench_encoder(encoder_type: str, tasks, batches, steps: int = 24) -> dict:
     if variant.endswith("bf16st"):
         stage_dtype = "bfloat16"
         variant = variant[: -len("bf16st")].strip("-")
+    # "HGT-gmax" / "HGT-gmax-bf16st": global-max softmax stabilizer
+    # (HGTLayer.softmax_stab="global" — two fewer E-row kernels per layer)
+    softmax_stab = "segment"
+    if variant == "gmax" or variant.startswith("gmax-") or variant.endswith("-gmax"):
+        softmax_stab = "global"
+        variant = variant.replace("gmax", "").strip("-")
     group_mode = variant.split("-")[0] or "pair"
     model = AnalysisGNN(
         metadata=(nodes, edges_meta),
@@ -104,6 +110,7 @@ def bench_encoder(encoder_type: str, tasks, batches, steps: int = 24) -> dict:
         use_pallas=use_pallas,
         conv_impl=conv_impl,
         hgt_stage_dtype=stage_dtype,
+        hgt_softmax_stab=softmax_stab,
     )
     batch = batches[0]
     attrs = batch.node_attrs[NOTE]

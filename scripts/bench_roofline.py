@@ -166,9 +166,13 @@ def run_arm(name: str, spec: dict, samples_cache: dict) -> dict:
     from analysisgnn_tpu.utils.profiling import TPU_PEAKS, conv_roofline
 
     tasks = tuple(TASK_DICT.items())
-    key = spec["notes"]
+    # one source score per batch slot (graphmuse loader contract: one
+    # subgraph per score per batch) so every arm measures its declared
+    # batch size — the old fixed 4-score corpus capped every batch at 4
+    # graphs and 6-26% node occupancy (round-5 finding)
+    key = (spec["notes"], spec["bs"])
     if key not in samples_cache:
-        samples_cache[key] = _build_samples(spec["notes"])
+        samples_cache[key] = _build_samples(spec["notes"], n_scores=spec["bs"])
     samples = samples_cache[key]
 
     cfg = SamplerConfig(

@@ -99,7 +99,7 @@ class RefModel(torch.nn.Module):
 def main():
     tasks = tuple(TASK_DICT.items())
     samples = []
-    for s in range(4):
+    for s in range(8):  # one score per batch slot (loader contract)
         na = synthetic_score(num_notes=2000, seed=s)
         feats = select_features(na, "voice")
         g = build_score_graph(na, add_beats=True, add_measures=True)
