@@ -123,7 +123,7 @@ class SamplerConfig:
     # budgets are derived from the calibrated cap, which makes node
     # overflow deterministically impossible: Σ per-graph ≤
     # n_graphs·(cap//n_graphs) ≤ cap.
-    node_capacity_headroom: float = 1.5
+    node_capacity_headroom: float = 1.25
     # Reference loader's ``subgraph_sample_ratio`` (train loaders pass 0.5,
     # reference data/datamodules/analysis.py:270-293; the graphmuse C
     # sampler is uninstallable here, so this is a RECONSTRUCTION of its
