@@ -107,6 +107,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help="keep flax default init instead of the torch-"
                         "nn.Linear-style uniform draw (the reference's "
                         "effective init; see train/state.py)")
+    p.add_argument("--final_dropout", action="store_true",
+                   help="apply dropout after the final conv as well (the "
+                        "torch-anchor RefModel drops every layer incl. the "
+                        "last; the reference HGCN leaves it raw) — probe "
+                        "lever for the key-head family study")
     p.add_argument("--no_fused_torch_init", dest="fused_torch_init",
                    action="store_false", default=True,
                    help="restrict the torch-style draw to plain Dense "
@@ -317,6 +322,7 @@ def main(argv=None) -> None:
         remat=config.get("remat", False),
         torch_init=config.get("torch_init", True),
         fused_torch_init=config.get("fused_torch_init", True),
+        final_dropout=config.get("final_dropout", False),
         logit_fusion=config.get("logit_fusion", False),
         use_rnn=config.get("use_rnn", False),
         mt_strategy=config.get("mt_strategy", "wloss"),

@@ -95,6 +95,10 @@ class AnalysisGNN(nn.Module):
     hgt_stage_dtype: str = "float32"
     # HGT softmax stabilizer ("segment" | "global", HGTLayer.softmax_stab)
     hgt_softmax_stab: str = "segment"
+    # Dropout AFTER the final conv as well (HybridGNN only) — the torch
+    # anchor RefModel normalizes+drops every layer incl. the last; probe
+    # lever for the key-head family study (RESULTS.md)
+    final_dropout: bool = False
 
     def setup(self):
         node_types, edge_types = self.metadata
@@ -128,6 +132,8 @@ class AnalysisGNN(nn.Module):
         if self.encoder_type.lower() == "hybridgnn":
             if self.final_norm:
                 enc_kwargs["final_norm"] = True
+            if self.final_dropout:
+                enc_kwargs["final_dropout"] = True
             if self.use_pallas:
                 enc_kwargs["use_pallas"] = True
             if self.remat:

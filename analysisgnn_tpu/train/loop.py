@@ -101,6 +101,8 @@ class TrainConfig:
     # implements as individual torch nn.Linears; False reproduces the
     # round-4 Dense-only scope for bisects (train/state.py docstring)
     fused_torch_init: bool = True
+    # dropout after the final conv too (encoders.HybridGNN.final_dropout)
+    final_dropout: bool = False
     mt_strategy: str = "wloss"
     lambda_dctn: float = 0.5
     lambda_featl: float = 0.1
@@ -165,6 +167,7 @@ class Trainer:
             remat=config.remat,
             conv_impl=config.conv_impl,
             hgt_stage_dtype=config.hgt_stage_dtype,
+            final_dropout=config.final_dropout,
         )
         self.history: List[Dict] = []
         self.best_val = float("inf")
