@@ -177,6 +177,8 @@ def load_model_and_params(checkpoint_dir: str, tag: str,
                   if cfg.get("model", "HybridGNN").lower() == "hgt"
                   else "float32")
         ),
+        # value-identical softmax variant — honor the trained config
+        hgt_softmax_stab=cfg.get("hgt_softmax_stab", "global"),
     )
     # build an abstract params tree to restore into
     import numpy as np

@@ -358,9 +358,11 @@ class HGTLayer(nn.Module):
     # softmax (any per-segment constant cancels in Σm·e/Σe), two fewer
     # E-row kernels per layer.  Safe while logits stay within ~±40 of the
     # global max (exp underflow at ≈88); the encoder's inter-layer L2
-    # normalization bounds q·k well inside that.  Dispatch lever for the
-    # tunnel runtime — A/B'd on chip before any default change.
-    softmax_stab: str = "segment"
+    # normalization bounds q·k well inside that.  Chip A/B (round 5,
+    # bench_queue/encoders_r5.out): 762.9 → 899.5 K edges/s on the full
+    # train step — DEFAULT since round 5; --hgt_softmax_stab segment
+    # restores the exact per-segment subtraction.
+    softmax_stab: str = "global"
 
     @nn.compact
     def __call__(
@@ -575,7 +577,7 @@ class HybridHGT(nn.Module):
     group_mode: str = "pair"  # see HGTLayer.group_mode
     use_pallas: bool = False  # see HGTLayer.use_pallas
     stage_dtype: str = "float32"  # see HGTLayer.stage_dtype
-    softmax_stab: str = "segment"  # see HGTLayer.softmax_stab
+    softmax_stab: str = "global"  # see HGTLayer.softmax_stab (r5 default)
 
     @nn.compact
     def __call__(

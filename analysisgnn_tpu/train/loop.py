@@ -92,6 +92,8 @@ class TrainConfig:
     conv_impl: str = "node"
     # HGT q/k/v + edge-transform staging dtype (models/encoders.py HGTLayer)
     hgt_stage_dtype: str = "float32"
+    # HGT softmax stabilizer (HGTLayer.softmax_stab; "global" default r5)
+    hgt_softmax_stab: str = "global"
     # torch-nn.Linear-style uniform init for Dense kernels/biases — the
     # reference's effective init; measurably faster convergence at the
     # reference recipe (train/state.py::torch_style_reinit)
@@ -167,6 +169,7 @@ class Trainer:
             remat=config.remat,
             conv_impl=config.conv_impl,
             hgt_stage_dtype=config.hgt_stage_dtype,
+            hgt_softmax_stab=config.hgt_softmax_stab,
             final_dropout=config.final_dropout,
         )
         self.history: List[Dict] = []
