@@ -274,6 +274,19 @@ def main() -> None:
             "pipeline_floor_ms_per_step": round(
                 max(dt / S, t_upload, t_sample / n_workers) * 1e3, 2
             ),
+            # this runtime's tunnel transport serializes the host->device
+            # copy with device execution (no separate copy engine through
+            # the proxied link), so the achievable floor here is
+            # upload + device, with sampling overlapped by the workers
+            "no_overlap_floor_ms_per_step": round(
+                (dt / S + t_upload) * 1e3, 2
+            ),
+            # on a real PCIe/ICI-attached host the same batch uploads in
+            # ~1 ms (tens of MB at >=16 GB/s) and overlaps compute, so
+            # sustained ~= staged (floor = max(device, sampling/workers))
+            "pcie_projection_ms_per_step": round(
+                max(dt / S, t_sample / n_workers) * 1e3, 2
+            ),
             "note": "floor = max(device step, serialized upload, sampling/"
                     "n_workers): uploads serialize on the single tunnel "
                     "link, sampling parallelizes across workers",
