@@ -84,7 +84,10 @@ def main() -> None:
         "tolerance": TOL,
         "rows": out_rows,
     }
-    with open(os.path.join(ROOT, "bench_queue", "crossover.json"), "w") as f:
+    out_path = os.environ.get(
+        "CROSSOVER_OUT", os.path.join(ROOT, "bench_queue", "crossover.json")
+    )
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
 
 
